@@ -1,0 +1,56 @@
+"""Masked k-nearest-neighbor graph construction for padded molecule batches.
+
+TPU-native replacement for torch_cluster.knn_graph (used per denoiser block in
+the reference, models/uni_transformer.py:466-468): instead of ragged edge
+lists we produce fixed-shape (B, N, K) neighbor-index tensors plus a validity
+mask. All downstream message passing is permutation-invariant (masked softmax
++ masked sum), so the edge *ordering* difference vs torch_cluster is
+irrelevant; the neighbor *sets* are identical for distinct distances.
+
+Self-loops are excluded (torch_cluster default loop=False). Molecules with
+fewer than k+1 atoms get fewer valid neighbors, flagged by nbr_mask — the
+masked softmax then matches the reference's ragged behavior exactly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_BIG = 1e10
+
+
+def pairwise_sqdist(pos: Array) -> Array:
+    """(B, N, 3) -> (B, N, N) squared Euclidean distances (one matmul)."""
+    inner = jnp.einsum("bnd,bmd->bnm", pos, pos,
+                       preferred_element_type=jnp.float32)
+    sq = jnp.sum(pos * pos, axis=-1)
+    d2 = sq[:, :, None] - 2 * inner + sq[:, None, :]
+    return jnp.maximum(d2, 0.0)
+
+
+def masked_knn(pos: Array, mask: Array, k: int) -> tuple[Array, Array]:
+    """k nearest *valid* neighbors of each node, excluding self.
+
+    pos:  (B, N, 3) positions (padded entries arbitrary)
+    mask: (B, N) bool, True = real atom
+    Returns (idx, nbr_mask): idx (B, N, K) int32 neighbor indices (source j
+    for destination i), nbr_mask (B, N, K) bool validity.
+    """
+    B, N, _ = pos.shape
+    d2 = pairwise_sqdist(pos)
+    eye = jnp.eye(N, dtype=bool)
+    invalid = (~mask[:, None, :]) | (~mask[:, :, None]) | eye[None]
+    d2 = jnp.where(invalid, _BIG, d2)
+    neg, idx = jax.lax.top_k(-d2, k)           # (B, N, K)
+    nbr_mask = neg > -_BIG / 2
+    return idx.astype(jnp.int32), nbr_mask
+
+
+def gather_neighbors(x: Array, idx: Array) -> Array:
+    """Gather per-node features at neighbor indices.
+
+    x: (B, N, ...); idx: (B, N, K) -> (B, N, K, ...).
+    """
+    return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
