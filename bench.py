@@ -1,0 +1,146 @@
+"""Benchmark: molecules/sec/chip at 1000-step shape-conditioned sampling
+(the BASELINE.json north-star metric) on the flagship model config.
+
+Protocol mirrors the reference sampling run (batch 100 molecules per
+conditioning shape, 1000 diffusion steps, ~MOSES2-size molecules —
+config/sampling/...noguide.yml:26-27, scripts/sample_diffusion.py:170),
+executed as one lax.scan under a single jit on the real chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.json
+"published": {}), and its torch+torch_scatter/cluster stack is not
+installable here, so we compare against a measured proxy: the same sampling
+workload executed step-by-step on this host's CPU via the un-scanned JAX
+path (an upper bound on what the reference's Python-loop CPU path could do),
+cached in .bench_baseline.json after first run.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+
+BATCH = 100          # molecules per sampling batch (reference batch size)
+MAX_ATOMS = 32       # padded bucket for MOSES2-size molecules
+STEPS = 1000         # diffusion steps
+SHAPE_CH = 32
+
+
+def build():
+    import jax
+    import jax.numpy as jnp
+    from shapemol_tpu.models.denoiser import DenoiserConfig
+    from shapemol_tpu.models.score_model import ScoreModelConfig, ShapeDiffusionNet
+    from shapemol_tpu.sample import sampler as smp
+
+    cfg = ScoreModelConfig(
+        num_diffusion_timesteps=STEPS, num_classes=15, hidden_dim=128,
+        denoiser=DenoiserConfig(num_blocks=1, num_layers=8, hidden_dim=128,
+                                n_heads=16, knn=8, num_r_gaussian=20,
+                                shape_dim=32, shape_latent_dim=32))
+    net = ShapeDiffusionNet(cfg)
+    sched = cfg.make_schedule()
+
+    rng = np.random.default_rng(0)
+    counts = jnp.asarray(rng.integers(12, 28, BATCH))
+    pos, v, mask = smp.make_init_state(jax.random.PRNGKey(1), BATCH,
+                                       MAX_ATOMS, counts,
+                                       cfg.num_net_classes)
+    shape = jnp.asarray(rng.standard_normal((BATCH, SHAPE_CH, 3)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), pos, v, mask, shape,
+                         jnp.zeros((BATCH,), jnp.int32))
+    return net, sched, variables, pos, v, mask, shape, smp
+
+
+def run_tpu_sampling():
+    import jax
+    net, sched, variables, pos, v, mask, shape, smp = build()
+    scfg = smp.SamplerConfig(num_steps=STEPS)
+
+    @jax.jit
+    def sample(rng):
+        return smp.sample_diffusion(net, sched, variables, rng, pos, v,
+                                    mask, shape, scfg)
+
+    # compile + warmup
+    out = sample(jax.random.PRNGKey(2))
+    out["pos"].block_until_ready()
+    # timed runs
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = sample(jax.random.PRNGKey(3 + i))
+        out["pos"].block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return BATCH / dt, dt
+
+
+def measure_cpu_baseline(n_steps: int = 20):
+    """Step-by-step (non-scan) sampling on CPU as the reference-path proxy;
+    extrapolated to 1000 steps."""
+    import jax
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        import jax.numpy as jnp
+        net, sched, variables, pos, v, mask, shape, smp = build()
+
+        def one_step(pos, v, rng, i):
+            t_vec = jnp.full((BATCH,), i, jnp.int32)
+            preds = net.apply(variables, pos, v, mask, shape, t_vec,
+                              train=False)
+            from shapemol_tpu.models import diffusion as dfn
+            pos_mean = dfn.q_pos_posterior(sched, preds["pred_ligand_pos"],
+                                           pos, t_vec)
+            noise = jax.random.normal(rng, pos.shape)
+            pos = pos_mean + jnp.exp(
+                0.5 * dfn.extract(sched.posterior_logvar, t_vec, 3)) * noise
+            log_prob = dfn.q_v_posterior(
+                sched, jax.nn.log_softmax(preds["pred_ligand_v"], -1),
+                dfn.index_to_log_onehot(v, 15), t_vec)
+            v = dfn.log_sample_categorical(rng, log_prob)
+            return pos, v
+
+        step = jax.jit(one_step)
+        p, vv = pos, v
+        p, vv = step(p, vv, jax.random.PRNGKey(0), STEPS - 1)  # compile
+        p.block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            p, vv = step(p, vv, jax.random.PRNGKey(i), STEPS - 1 - i)
+        p.block_until_ready()
+        per_step = (time.perf_counter() - t0) / n_steps
+    full = per_step * STEPS
+    return BATCH / full
+
+
+def main():
+    mols_per_sec, dt = run_tpu_sampling()
+
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            baseline = json.load(f)["cpu_proxy_mols_per_sec"]
+    else:
+        baseline = measure_cpu_baseline()
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"cpu_proxy_mols_per_sec": baseline}, f)
+
+    result = {
+        "metric": "sampling_mols_per_sec_per_chip",
+        "value": round(mols_per_sec, 3),
+        "unit": "molecules/sec/chip @ 1000-step shape-conditioned sampling "
+                f"(batch {BATCH}, {MAX_ATOMS}-atom pad; per-step "
+                f"{1e3 * dt / STEPS:.2f} ms)",
+        "vs_baseline": round(mols_per_sec / max(baseline, 1e-9), 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
