@@ -1,0 +1,202 @@
+"""Chemistry stack tests: periodic tables, molecule graph ops, SDF I/O,
+reconstruction, SMILES canonicalization."""
+import numpy as np
+import pytest
+
+from shapemol_tpu.chem import periodic as pt
+from shapemol_tpu.chem.mol import (Molecule, AROMATIC, ring_basis,
+                                   perceive_aromaticity,
+                                   infer_hybridization)
+from shapemol_tpu.chem import sdf
+from shapemol_tpu.chem import vocab
+from shapemol_tpu.chem.reconstruct import (connect_the_dots,
+                                           reconstruct_from_generated,
+                                           MolReconsError)
+from shapemol_tpu.chem.smiles import to_smiles, is_complete
+
+
+# ---- geometry builders ----------------------------------------------------
+
+def benzene() -> Molecule:
+    """Ideal benzene ring (C-C 1.39 Å)."""
+    ang = np.arange(6) * np.pi / 3
+    r = 1.39
+    pos = np.stack([r * np.cos(ang) / (2 * np.sin(np.pi / 6)),
+                    r * np.sin(ang) / (2 * np.sin(np.pi / 6)),
+                    np.zeros(6)], axis=1)
+    bonds = [(i, (i + 1) % 6, 2 if i % 2 == 0 else 1) for i in range(6)]
+    bonds = [(min(i, j), max(i, j), o) for i, j, o in bonds]
+    return Molecule(np.full(6, 6), pos, bonds)
+
+
+def ethane_like(d=1.54):
+    pos = np.array([[0, 0, 0], [d, 0, 0]])
+    return np.full(2, 6), pos
+
+
+def test_bond_order_tables():
+    assert pt.get_bond_order("C", "C", 1.54) == 1
+    assert pt.get_bond_order("C", "C", 1.33) == 2
+    assert pt.get_bond_order("C", "C", 1.20) == 3
+    assert pt.get_bond_order("C", "C", 1.90) == 0
+    assert pt.get_bond_order("C", "O", 1.20) == 2
+    assert pt.get_bond_order("C", "N", 1.15) == 3
+
+
+def test_ring_basis_benzene():
+    mol = benzene()
+    rings = ring_basis(mol)
+    assert len(rings) == 1 and len(rings[0]) == 6
+
+
+def test_aromaticity_benzene():
+    mol = benzene()
+    arom = perceive_aromaticity(mol)
+    assert arom.all()
+    assert all(o == AROMATIC for (_, _, o) in mol.bonds)
+
+
+def test_aromaticity_cyclohexane_negative():
+    ang = np.arange(6) * np.pi / 3
+    pos = np.stack([1.5 * np.cos(ang), 1.5 * np.sin(ang),
+                    0.25 * (-1) ** np.arange(6)], axis=1)
+    bonds = [(min(i, (i + 1) % 6), max(i, (i + 1) % 6), 1) for i in range(6)]
+    mol = Molecule(np.full(6, 6), pos, bonds)
+    arom = perceive_aromaticity(mol)
+    assert not arom.any()
+
+
+def test_hybridization():
+    # propyne: C#C-C
+    pos = np.array([[0, 0, 0], [1.2, 0, 0], [2.66, 0, 0]])
+    mol = Molecule(np.full(3, 6), pos, [(0, 1, 3), (1, 2, 1)])
+    hyb = infer_hybridization(mol)
+    assert hyb == ["SP", "SP", "SP3"]
+
+
+def test_sdf_roundtrip():
+    mol = benzene()
+    mol.charges[0] = 1
+    block = sdf.to_molblock(mol, "benzene")
+    back = sdf.parse_molblock(block)
+    np.testing.assert_array_equal(back.atomic_nums, mol.atomic_nums)
+    np.testing.assert_allclose(back.pos, mol.pos, atol=1e-4)
+    assert back.bond_dict() == mol.bond_dict()
+    assert back.charges[0] == 1
+
+
+def test_sdf_file_roundtrip(tmp_path):
+    mols = [benzene(), benzene()]
+    path = str(tmp_path / "out.sdf")
+    sdf.write_sdf(path, mols)
+    back = sdf.read_sdf(path)
+    assert len(back) == 2
+    assert back[0].num_atoms == 6
+
+
+def test_vocab_roundtrip():
+    for (z, ar), idx in vocab.MAP_ATOM_TYPE_AROMATIC_TO_INDEX.items():
+        assert vocab.get_index(z, None, ar, "add_aromatic") == idx
+        assert vocab.get_atomic_numbers([idx], "add_aromatic")[0] == z
+        assert vocab.get_aromatic_flags([idx], "add_aromatic")[0] == ar
+    assert vocab.feature_dim("add_aromatic") == 15
+    assert vocab.feature_dim("basic") == 10
+    assert vocab.feature_dim("full") == 23
+    # out-of-range fallback to carbon (reference quirk)
+    assert vocab.get_atomic_numbers([99], "add_aromatic") == [6]
+
+
+def test_connect_the_dots_simple_chain():
+    # propane-like heavy chain: C-C-C at 1.54 Å spacing, 109 degrees
+    pos = np.array([[0, 0, 0], [1.54, 0, 0], [2.3, 1.3, 0.0]])
+    bonds = connect_the_dots(pos, np.full(3, 6))
+    assert (0, 1) in bonds and (1, 2) in bonds and (0, 2) not in bonds
+
+
+def test_connect_the_dots_prunes_halogen_pairs():
+    pos = np.array([[0, 0, 0], [1.6, 0, 0]])
+    bonds = connect_the_dots(pos, np.array([9, 17]))   # F-Cl impossible
+    assert bonds == []
+
+
+def test_connect_the_dots_keeps_connectivity():
+    # a stretched but essential bond must survive (removal would fragment)
+    pos = np.array([[0, 0, 0], [1.9, 0, 0]])           # stretch > 1.2
+    bonds = connect_the_dots(pos, np.full(2, 6))
+    assert bonds == [(0, 1)]
+
+
+def test_reconstruct_benzene_from_coords():
+    mol0 = benzene()
+    mol = reconstruct_from_generated(mol0.pos, mol0.atomic_nums,
+                                     aromatic=[True] * 6, basic_mode=False)
+    assert len(mol.bonds) == 6
+    assert mol.aromatic.all()
+    smi = to_smiles(mol)
+    assert smi == "c1ccccc1"
+
+
+def test_reconstruct_ethanol_like():
+    # C-C-O chain with realistic distances
+    pos = np.array([[0, 0, 0], [1.52, 0, 0], [2.0, 1.33, 0]])
+    mol = reconstruct_from_generated(pos, [6, 6, 8])
+    assert mol.bond_dict() == {(0, 1): 1, (1, 2): 1}
+    assert is_complete(to_smiles(mol))
+
+
+def test_reconstruct_carbonyl():
+    # acetone-like: C=O at 1.22 Å
+    pos = np.array([[0, 0, 0], [1.22, 0, 0]])
+    mol = reconstruct_from_generated(pos, [6, 8])
+    assert mol.bond_dict() == {(0, 1): 2}
+
+
+def test_smiles_uniqueness_discrimination():
+    """Different graphs -> different strings; same graph permuted -> same."""
+    mol1 = benzene()
+    perm = [3, 1, 5, 0, 2, 4]
+    inv = np.argsort(perm)
+    bonds_p = [(min(int(inv[i]), int(inv[j])), max(int(inv[i]), int(inv[j])), o)
+               for (i, j, o) in mol1.bonds]
+    mol2 = Molecule(mol1.atomic_nums[perm], mol1.pos[perm], bonds_p)
+    mol2.aromatic = np.ones(6, bool)
+    mol1.aromatic = np.ones(6, bool)
+    for b in range(6):
+        pass
+    mol1.bonds = [(i, j, AROMATIC) for (i, j, o) in mol1.bonds]
+    mol2.bonds = [(i, j, AROMATIC) for (i, j, o) in mol2.bonds]
+    assert to_smiles(mol1) == to_smiles(mol2)
+
+    # pyridine differs from benzene
+    mol3 = benzene()
+    z = np.asarray(mol3.atomic_nums).copy()
+    z[0] = 7
+    mol3 = Molecule(z, mol3.pos, mol3.bonds)
+    assert to_smiles(mol3) != to_smiles(mol1)
+
+
+def test_smiles_disconnected():
+    pos = np.array([[0, 0, 0], [10.0, 0, 0]])
+    mol = Molecule(np.array([6, 8]), pos, [])
+    smi = to_smiles(mol)
+    assert "." in smi and not is_complete(smi)
+
+
+def test_smiles_branches_and_orders():
+    # isobutylene-like: C(=C)(C)C
+    pos = np.array([[0, 0, 0], [1.33, 0, 0], [-0.8, 1.3, 0], [-0.8, -1.3, 0]])
+    mol = Molecule(np.full(4, 6), pos,
+                   [(0, 1, 2), (0, 2, 1), (0, 3, 1)])
+    smi = to_smiles(mol)
+    assert "=" in smi and "(" in smi
+
+
+def test_reconstruct_raises_on_garbage():
+    # a dense clump of halogens cannot form a valid molecule; expect either
+    # an empty bond set (disconnected) or an error — never a crash
+    pos = np.random.default_rng(0).standard_normal((5, 3)) * 0.5
+    try:
+        mol = reconstruct_from_generated(pos, [9, 9, 17, 17, 9])
+        assert len(mol.bonds) <= 2
+    except MolReconsError:
+        pass
