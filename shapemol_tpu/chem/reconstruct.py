@@ -166,6 +166,43 @@ def connect_the_dots(pos: np.ndarray, atomic_nums: np.ndarray,
     return sorted({(min(i, j), max(i, j)) for i in range(n) for j in adj[i]})
 
 
+_SP2_CAPABLE = {"C", "N", "O", "S"}
+
+
+def _ring_is_geometric_aromatic(pos: np.ndarray, atomic_nums: np.ndarray,
+                                ring: List[int], syms: List[str],
+                                bonds: List[Tuple[int, int]]) -> bool:
+    """Planar 5/6-ring whose in-ring bonds are all shorter than the midpoint
+    of the single/double empirical lengths for their element pair."""
+    if not all(syms[a] in _SP2_CAPABLE for a in ring):
+        return False
+    ring_set = set(ring)
+    ring_bonds = [(i, j) for (i, j) in bonds
+                  if i in ring_set and j in ring_set]
+    if len(ring_bonds) != len(ring):
+        return False
+    for (i, j) in ring_bonds:
+        d_pm = float(np.linalg.norm(pos[i] - pos[j])) * 100.0
+        sa, sb = syms[i], syms[j]
+        d1 = pt.BONDS1.get(sa, {}).get(sb)
+        d2 = pt.BONDS2.get(sa, {}).get(sb)
+        if d1 is None:
+            return False
+        if d2 is None:
+            # pairs with no double-bond entry (e.g. C-S in thiophene):
+            # accept when clearly shorter than the single-bond length
+            if d_pm > d1 - 2:
+                return False
+        elif d_pm > (d1 + d2) / 2.0 + 3:
+            return False
+    # planarity: RMS distance to the best-fit plane
+    pts = pos[ring]
+    centered = pts - pts.mean(axis=0)
+    _, s, _ = np.linalg.svd(centered)
+    rms_out_of_plane = s[-1] / np.sqrt(len(ring))
+    return rms_out_of_plane < 0.15
+
+
 def perceive_bond_orders(pos: np.ndarray, atomic_nums: np.ndarray,
                          bonds: List[Tuple[int, int]],
                          aromatic: Optional[Sequence[bool]] = None
@@ -196,15 +233,22 @@ def perceive_bond_orders(pos: np.ndarray, atomic_nums: np.ndarray,
     capacity = np.array([max(target_valence(a) - degree[a], 0)
                          for a in range(n)], dtype=np.float64)
 
-    # aromatic rings first (consume 0.5 capacity per ring bond endpoint)
+    # aromatic rings: from indicators when provided, and from geometry —
+    # a planar 5/6-ring of sp2-capable atoms whose bond lengths sit closer
+    # to the double-bond than the single-bond table entry (OpenBabel's
+    # PerceiveBondOrders reaches the same conclusion from geometry)
     mol_tmp = Molecule(atomic_nums, pos, [(i, j, 1) for i, j in bonds])
-    if aromatic is not None and any(aromatic):
-        for ring in ring_basis(mol_tmp, max_size=7):
-            if len(ring) in (5, 6) and all(aromatic[a] for a in ring):
-                ring_set = set(ring)
-                for (i, j) in bonds:
-                    if i in ring_set and j in ring_set:
-                        orders[(i, j)] = AROMATIC
+    for ring in ring_basis(mol_tmp, max_size=7):
+        if len(ring) not in (5, 6):
+            continue
+        flagged = aromatic is not None and all(aromatic[a] for a in ring)
+        geometric = _ring_is_geometric_aromatic(pos, atomic_nums, ring,
+                                                syms, bonds)
+        if flagged or geometric:
+            ring_set = set(ring)
+            for (i, j) in bonds:
+                if i in ring_set and j in ring_set:
+                    orders[(i, j)] = AROMATIC
 
     # distribute double/triple upgrades greedily by empirical windows,
     # shortest (most confident) bonds first

@@ -1,0 +1,182 @@
+"""End-to-end evaluation of generated molecule sets — the framework's
+equivalent of scripts/evaluate_diffusion_sim.py:71-266.
+
+Per sample: stability check on raw (pos, types) -> pair-distance profile ->
+reconstruction -> SMILES (completeness/uniqueness) -> chem scores.
+Per target: pairwise 2D diversity, reference 2D Tanimoto, aligned 3D ROCS,
+ESP similarity. Aggregation emits the same report fields as the reference
+(mol/atm stability, recon rate, completeness, uniqueness, JSDs, QED/SA,
+ring-size ratios). Per-target similarity work fans out over a host process
+pool, mirroring the reference's Pool.imap usage."""
+from __future__ import annotations
+
+import dataclasses
+import multiprocessing as mp
+from collections import Counter
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from shapemol_tpu.chem import vocab
+from shapemol_tpu.chem.mol import Molecule
+from shapemol_tpu.chem.reconstruct import (MolReconsError,
+                                           reconstruct_from_generated)
+from shapemol_tpu.chem.smiles import to_smiles, is_complete
+from shapemol_tpu.eval import atom_type as eval_atom
+from shapemol_tpu.eval import bond_length as eval_bond
+from shapemol_tpu.eval import scoring
+from shapemol_tpu.eval import similarity as sim
+from shapemol_tpu.eval.espsim import esp_sim
+from shapemol_tpu.eval.stability import check_stability
+
+
+@dataclasses.dataclass
+class SampleResult:
+    mol: Optional[Molecule]
+    smiles: Optional[str]
+    stable: bool
+    n_stable_atoms: int
+    n_atoms: int
+    complete: bool
+
+
+def process_sample(pos: np.ndarray, v_indices: Sequence[int],
+                   atom_mode: str = "add_aromatic",
+                   basic_mode: bool = True) -> SampleResult:
+    """Raw sampler output -> reconstructed molecule + validity flags."""
+    atomic_nums = vocab.get_atomic_numbers(v_indices, atom_mode)
+    aromatic = vocab.get_aromatic_flags(v_indices, atom_mode)
+    stable, n_stable, n_atoms = check_stability(pos, atomic_nums)
+    try:
+        mol = reconstruct_from_generated(pos, atomic_nums, aromatic,
+                                         basic_mode=basic_mode)
+        smi = to_smiles(mol)
+        return SampleResult(mol, smi, stable, n_stable, n_atoms,
+                            is_complete(smi))
+    except MolReconsError:
+        return SampleResult(None, None, stable, n_stable, n_atoms, False)
+
+
+def _target_similarity(args) -> Dict:
+    """Per-target similarity bundle (runs in a worker process)."""
+    sample_payload, ref_payload = args
+    samples = [Molecule(*p) for p in sample_payload]
+    out: Dict = {}
+    if len(samples) >= 2:
+        out["pairwise_diversity"] = sim.average_pairwise_diversity(samples)
+    if ref_payload is not None:
+        ref = Molecule(*ref_payload)
+        tans = [sim.tanimoto_sim(s, ref) for s in samples]
+        out["ref_tanimoto_avg"] = float(np.mean(tans)) if tans else None
+        out["ref_tanimoto_max"] = float(np.max(tans)) if tans else None
+        rocs = [sim.aligned_rocs(ref.pos, s.pos) for s in samples]
+        out["rocs_mean"] = float(np.mean(rocs)) if rocs else None
+        out["rocs_std"] = float(np.std(rocs)) if rocs else None
+        out["rocs_max"] = float(np.max(rocs)) if rocs else None
+        esp = []
+        for s in samples:
+            try:
+                esp.append(esp_sim(s, ref))
+            except Exception:
+                pass
+        out["esp_sim_mean"] = float(np.mean(esp)) if esp else None
+    return out
+
+
+def _mol_payload(m: Molecule):
+    return (m.atomic_nums, m.pos, m.bonds, m.charges, m.aromatic)
+
+
+def evaluate_generation(results: Dict[int, List[Tuple[np.ndarray, Sequence[int]]]],
+                        references: Optional[Dict[int, Molecule]] = None,
+                        atom_mode: str = "add_aromatic",
+                        empirical_profiles: Optional[Tuple] = None,
+                        num_workers: int = 0) -> Dict:
+    """results: {target_id: [(pos, v_indices), ...]}.
+
+    Returns the aggregate metrics dict (reference fields:
+    evaluate_diffusion_sim.py:196-257)."""
+    n_samples = n_stable_mol = n_recon = n_complete = 0
+    n_atoms_total = n_stable_atoms = 0
+    all_smiles: List[str] = []
+    recon_mols: List[Molecule] = []
+    bond_data, pair_data = [], []
+    atom_counter: Counter = Counter()
+    qed_list, sa_list, logp_list, lipinski_list = [], [], [], []
+    per_target_samples: Dict[int, List[Molecule]] = {}
+
+    for tid, samples in results.items():
+        per_target_samples[tid] = []
+        for pos, v_idx in samples:
+            n_samples += 1
+            r = process_sample(np.asarray(pos), v_idx, atom_mode)
+            n_stable_mol += int(r.stable)
+            n_atoms_total += r.n_atoms
+            n_stable_atoms += r.n_stable_atoms
+            atomic_nums = vocab.get_atomic_numbers(v_idx, atom_mode)
+            pair_data.extend(eval_bond.pair_distances_from_pos(
+                np.asarray(pos), atomic_nums))
+            if r.mol is None:
+                continue
+            n_recon += 1
+            n_complete += int(r.complete)
+            all_smiles.append(r.smiles)
+            recon_mols.append(r.mol)
+            per_target_samples[tid].append(r.mol)
+            bond_data.extend(eval_bond.bond_distances_from_mol(r.mol))
+            atom_counter.update(int(z) for z in r.mol.atomic_nums)
+            chem = scoring.get_chem(r.mol)
+            qed_list.append(chem["qed"])
+            sa_list.append(chem["sa"])
+            logp_list.append(chem["logp"])
+            lipinski_list.append(chem["lipinski"])
+
+    metrics: Dict = {
+        "n_samples": n_samples,
+        "mol_stable": n_stable_mol / max(n_samples, 1),
+        "atm_stable": n_stable_atoms / max(n_atoms_total, 1),
+        "recon_success": n_recon / max(n_samples, 1),
+        "complete": n_complete / max(n_samples, 1),
+        "uniq_over_complete": (len(set(all_smiles)) / len(all_smiles)
+                               if all_smiles else None),
+        "atom_type_jsd": eval_atom.eval_atom_type_distribution(atom_counter),
+        "qed_mean": float(np.mean(qed_list)) if qed_list else None,
+        "sa_mean": float(np.mean(sa_list)) if sa_list else None,
+        "logp_mean": float(np.mean(logp_list)) if logp_list else None,
+        "lipinski_mean": (float(np.mean(lipinski_list))
+                          if lipinski_list else None),
+        "ring_size_ratio": scoring.ring_size_counts(recon_mols),
+    }
+
+    # distribution JSDs when empirical reference profiles are available
+    if empirical_profiles is not None:
+        bond_ref, pair_ref = empirical_profiles
+        metrics.update(eval_bond.eval_bond_length_profile(
+            eval_bond.get_bond_length_profile(bond_data), bond_ref))
+        metrics.update(eval_bond.eval_pair_length_profile(
+            eval_bond.get_pair_length_profile(pair_data), pair_ref))
+
+    # per-target similarity (process pool like the reference's Pool.imap)
+    jobs = []
+    tids = []
+    for tid, samples in per_target_samples.items():
+        if not samples:
+            continue
+        ref = references.get(tid) if references else None
+        jobs.append(([_mol_payload(m) for m in samples],
+                     _mol_payload(ref) if ref is not None else None))
+        tids.append(tid)
+    if jobs:
+        if num_workers > 1:
+            with mp.Pool(num_workers) as pool:
+                sims = list(pool.imap(_target_similarity, jobs))
+        else:
+            sims = [_target_similarity(j) for j in jobs]
+        per_target = dict(zip(tids, sims))
+        metrics["per_target"] = per_target
+        for key in ("pairwise_diversity", "ref_tanimoto_avg",
+                    "ref_tanimoto_max", "rocs_mean", "rocs_max",
+                    "esp_sim_mean"):
+            vals = [s[key] for s in sims if s.get(key) is not None]
+            metrics[key] = float(np.mean(vals)) if vals else None
+    return metrics

@@ -1,0 +1,280 @@
+"""Chemical property scoring: QED, SA, logP, Lipinski, ring statistics.
+
+Functional parity target: utils/evaluation/scoring_func.py:19-82 (get_chem
+returns {qed, sa, logp, lipinski, ring_size}) and sascorer.py.
+
+The reference computes these with RDKit (C++). This module is self-contained:
+exact graph-derived descriptors (MW, HBD/HBA, rotatable bonds, rings, TPSA
+by Ertl fragment contributions) plus documented approximations of Crippen
+logP, QED and the Ertl-Schuffenhauer SA score (the fragment-frequency term is
+replaced by a rarity surrogate). When RDKit IS installed,
+chem/rdkit_compat.py routes to the exact implementations — use that path for
+paper-comparable numbers; use this one for self-contained relative ranking.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List
+
+import numpy as np
+
+from shapemol_tpu.chem.mol import Molecule, AROMATIC, ring_basis
+
+ATOMIC_WEIGHTS = {1: 1.008, 5: 10.81, 6: 12.011, 7: 14.007, 8: 15.999,
+                  9: 18.998, 14: 28.085, 15: 30.974, 16: 32.06,
+                  17: 35.45, 35: 79.904, 53: 126.904}
+
+_DEFAULT_VAL = {6: 4, 7: 3, 8: 2, 9: 1, 15: 3, 16: 2, 17: 1, 35: 1, 53: 1,
+                5: 3, 14: 4, 1: 1}
+
+
+def implicit_h_counts(mol: Molecule) -> np.ndarray:
+    val = mol.explicit_valences()
+    out = np.zeros(mol.num_atoms, dtype=np.int64)
+    for a in range(mol.num_atoms):
+        z = int(mol.atomic_nums[a])
+        dv = _DEFAULT_VAL.get(z, 4) + int(mol.charges[a]) * (1 if z == 7 else -1)
+        out[a] = max(int(round(dv - val[a])), 0)
+    return out
+
+
+def mol_weight(mol: Molecule, with_implicit_h: bool = True) -> float:
+    w = sum(ATOMIC_WEIGHTS.get(int(z), 12.0) for z in mol.atomic_nums)
+    if with_implicit_h:
+        w += float(implicit_h_counts(mol).sum()) * 1.008
+    return w
+
+
+def h_bond_donors(mol: Molecule) -> int:
+    """N/O atoms carrying at least one H (Lipinski definition)."""
+    hs = implicit_h_counts(mol)
+    return int(sum(1 for a in range(mol.num_atoms)
+                   if int(mol.atomic_nums[a]) in (7, 8) and hs[a] > 0))
+
+
+def h_bond_acceptors(mol: Molecule) -> int:
+    """All N/O atoms (Lipinski definition)."""
+    return int(np.isin(mol.atomic_nums, (7, 8)).sum())
+
+
+def rotatable_bonds(mol: Molecule) -> int:
+    """Single, acyclic bonds between heavy atoms that each have another
+    heavy neighbor; amide C-N excluded (standard strict definition)."""
+    adj = mol.neighbors()
+    ring_atoms = set()
+    ring_pairs = set()
+    for r in ring_basis(mol):
+        ring_atoms |= set(r)
+        for k in range(len(r)):
+            a, b = r[k], r[(k + 1) % len(r)]
+            ring_pairs.add((min(a, b), max(a, b)))
+    orders = mol.bond_dict()
+    n_rot = 0
+    for (i, j, o) in mol.bonds:
+        if o != 1 or (i, j) in ring_pairs:
+            continue
+        if len(adj[i]) < 2 or len(adj[j]) < 2:
+            continue
+        # amide: C(=O)-N
+        def is_amide(c, n):
+            if int(mol.atomic_nums[c]) != 6 or int(mol.atomic_nums[n]) != 7:
+                return False
+            return any(orders[(min(c, b), max(c, b))] == 2
+                       and int(mol.atomic_nums[b]) == 8 for b in adj[c])
+        if is_amide(i, j) or is_amide(j, i):
+            continue
+        n_rot += 1
+    return n_rot
+
+
+# Ertl TPSA contributions (Å^2) for the common N/O/S/P environments
+def tpsa(mol: Molecule) -> float:
+    hs = implicit_h_counts(mol)
+    adj = mol.neighbors()
+    arom = mol.aromatic if mol.aromatic is not None \
+        else np.zeros(mol.num_atoms, bool)
+    orders = mol.bond_dict()
+    total = 0.0
+    for a in range(mol.num_atoms):
+        z = int(mol.atomic_nums[a])
+        if z not in (7, 8, 16, 15):
+            continue
+        deg = len(adj[a])
+        h = int(hs[a])
+        has_double = any(orders[(min(a, b), max(a, b))] == 2 for b in adj[a])
+        if z == 7:
+            if arom[a]:
+                total += 15.79 if h == 0 else 21.94
+            elif has_double and deg == 1:
+                total += 23.85
+            elif h == 0:
+                total += 3.24
+            elif h == 1:
+                total += 12.03
+            else:
+                total += 26.02
+        elif z == 8:
+            if arom[a]:
+                total += 13.14
+            elif has_double or deg == 1 and not mol.bonds:
+                total += 17.07 if has_double else (20.23 if h else 23.06)
+            elif h >= 1:
+                total += 20.23
+            else:
+                total += 9.23
+        elif z == 16:
+            total += 25.30 if h else (28.24 if arom[a] else 25.30)
+        elif z == 15:
+            total += 13.59
+    return total
+
+
+# crude Wildman-Crippen-flavored per-atom logP contributions
+_LOGP_C = {"aromatic": 0.29, "aliphatic": 0.14}
+_LOGP = {7: -0.60, 8: -0.55, 9: 0.22, 15: -0.45, 16: 0.25, 17: 0.65,
+         35: 0.86, 53: 1.19}
+
+
+def logp(mol: Molecule) -> float:
+    """Atom-additive logP approximation (Crippen-flavored)."""
+    arom = mol.aromatic if mol.aromatic is not None \
+        else np.zeros(mol.num_atoms, bool)
+    hs = implicit_h_counts(mol)
+    total = 0.0
+    for a in range(mol.num_atoms):
+        z = int(mol.atomic_nums[a])
+        if z == 6:
+            total += _LOGP_C["aromatic" if arom[a] else "aliphatic"]
+            total += 0.12 * hs[a]
+        elif z == 1:
+            total += 0.12
+        else:
+            total += _LOGP.get(z, 0.0)
+    return total
+
+
+def obey_lipinski(mol: Molecule) -> int:
+    """Count of satisfied Lipinski rules (reference obey_lipinski returns
+    0-5: MW<500, logP<=5, HBD<=5, HBA<=10, rotatable<=10)."""
+    rules = [
+        mol_weight(mol) < 500,
+        logp(mol) <= 5,
+        h_bond_donors(mol) <= 5,
+        h_bond_acceptors(mol) <= 10,
+        rotatable_bonds(mol) <= 10,
+    ]
+    return int(sum(rules))
+
+
+def _ads(x, a, b, c, d, e, f, dmax):
+    """Asymmetric double sigmoid used by QED desirability functions."""
+    return ((a + b / (1 + math.exp(-(x - c + d / 2) / e))
+             * (1 - 1 / (1 + math.exp(-(x - c - d / 2) / f)))) / dmax)
+
+
+# QED desirability parameters (Bickerton et al. 2012, average-weight set)
+_QED_PARAMS = {
+    "MW": (2.817, 392.575, 290.749, 2.420, 49.223, 65.371, 104.981),
+    "ALOGP": (3.173, 137.862, 2.535, 4.581, 0.823, 0.576, 131.319),
+    "HBA": (2.949, 160.461, 3.615, 4.436, 0.290, 1.301, 148.776),
+    "HBD": (1.619, 1010.051, 0.985, 0.000, 0.714, 0.921, 258.163),
+    "PSA": (1.877, 125.223, 62.908, 87.834, 12.020, 28.513, 104.569),
+    "ROTB": (0.010, 272.412, 2.558, 1.566, 1.272, 2.758, 105.137),
+    "AROM": (3.218, 957.737, 2.275, -0.141, 0.342, 0.442, 312.337),
+    "ALERTS": (0.010, 1199.094, -0.090, 0.236, 0.964, 0.988, 199.164),
+}
+_QED_WEIGHTS = {"MW": 0.66, "ALOGP": 0.46, "HBA": 0.05, "HBD": 0.61,
+                "PSA": 0.06, "ROTB": 0.65, "AROM": 0.48, "ALERTS": 0.95}
+
+
+def aromatic_ring_count(mol: Molecule) -> int:
+    arom = mol.aromatic if mol.aromatic is not None \
+        else np.zeros(mol.num_atoms, bool)
+    return sum(1 for r in ring_basis(mol) if all(arom[a] for a in r))
+
+
+def qed(mol: Molecule) -> float:
+    """Quantitative Estimate of Drug-likeness (weighted geometric mean of
+    ADS desirabilities; structural-alert count approximated as 0)."""
+    desc = {
+        "MW": mol_weight(mol),
+        "ALOGP": logp(mol),
+        "HBA": h_bond_acceptors(mol),
+        "HBD": h_bond_donors(mol),
+        "PSA": tpsa(mol),
+        "ROTB": rotatable_bonds(mol),
+        "AROM": aromatic_ring_count(mol),
+        "ALERTS": 0,
+    }
+    num = 0.0
+    den = 0.0
+    for k, x in desc.items():
+        d = max(_ads(float(x), *_QED_PARAMS[k]), 1e-3)
+        w = _QED_WEIGHTS[k]
+        num += w * math.log(d)
+        den += w
+    return math.exp(num / den)
+
+
+def sa_score(mol: Molecule) -> float:
+    """Synthetic-accessibility estimate normalized to (0, 1] like the
+    reference's compute_sa_score (sascorer.py:176): higher = easier.
+
+    Complexity penalties follow Ertl-Schuffenhauer (ring complexity, spiro,
+    macrocycles, size, stereo omitted); the fragment-frequency score is
+    replaced by a neighborhood-rarity surrogate."""
+    n = mol.num_atoms
+    if n == 0:
+        return 0.0
+    rings = ring_basis(mol)
+    ring_atoms = set(a for r in rings for a in r)
+    adj = mol.neighbors()
+
+    # fragment surrogate: fraction of atoms in "unusual" environments
+    unusual = 0
+    for a in range(n):
+        z = int(mol.atomic_nums[a])
+        if z not in (6, 7, 8) or len(adj[a]) >= 4:
+            unusual += 1
+    frag_penalty = 1.5 * unusual / n
+
+    size_penalty = n ** 1.005 - n
+    macro_penalty = math.log10(2) if any(len(r) > 8 for r in rings) else 0.0
+    # spiro: atom in two rings sharing only that atom
+    ring_sets = [set(r) for r in rings]
+    spiro = 0
+    for i in range(len(ring_sets)):
+        for j in range(i + 1, len(ring_sets)):
+            if len(ring_sets[i] & ring_sets[j]) == 1:
+                spiro += 1
+    ring_complexity = math.log10(len(ring_atoms) + 1) + 0.5 * spiro
+
+    sascore = (1.0 + frag_penalty * 4.0 + size_penalty * 0.1
+               + macro_penalty + ring_complexity)
+    sascore = min(max(sascore, 1.0), 10.0)
+    return round((10.0 - sascore) / 9.0, 2)
+
+
+def ring_size_counts(mols: List[Molecule], max_size: int = 9
+                     ) -> Dict[int, float]:
+    """Fraction of molecules containing a ring of each size (the reference's
+    ring-size ratio report, evaluate_diffusion_sim.py:32-38,257)."""
+    counts = {k: 0 for k in range(3, max_size + 1)}
+    for mol in mols:
+        sizes = set(len(r) for r in ring_basis(mol))
+        for s in sizes:
+            if 3 <= s <= max_size:
+                counts[s] += 1
+    total = max(len(mols), 1)
+    return {k: v / total for k, v in counts.items()}
+
+
+def get_chem(mol: Molecule) -> Dict:
+    """The reference's get_chem bundle (scoring_func.py:66-82)."""
+    return {
+        "qed": qed(mol),
+        "sa": sa_score(mol),
+        "logp": logp(mol),
+        "lipinski": obey_lipinski(mol),
+        "ring_size": sorted(len(r) for r in ring_basis(mol)),
+    }

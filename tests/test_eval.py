@@ -1,0 +1,184 @@
+"""Evaluation stack tests: stability, bond-length JSD, atom-type JSD,
+similarity (fingerprints, ROCS, alignment), charges, scoring, end-to-end
+evaluate_generation."""
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from shapemol_tpu.chem.mol import Molecule, AROMATIC
+from shapemol_tpu.chem.charges import gasteiger_charges
+from shapemol_tpu.eval import atom_type as eval_atom
+from shapemol_tpu.eval import bond_length as eval_bond
+from shapemol_tpu.eval import scoring
+from shapemol_tpu.eval import similarity as sim
+from shapemol_tpu.eval.espsim import esp_sim, get_shape_sim
+from shapemol_tpu.eval.evaluate import evaluate_generation, process_sample
+from shapemol_tpu.eval.stability import (check_stability,
+                                         analyze_stability_for_molecules)
+
+
+def benzene() -> Molecule:
+    ang = np.arange(6) * np.pi / 3
+    r = 1.39 / (2 * np.sin(np.pi / 6))
+    pos = np.stack([r * np.cos(ang), r * np.sin(ang), np.zeros(6)], axis=1)
+    m = Molecule(np.full(6, 6), pos,
+                 [(i, (i + 1) % 6, AROMATIC) for i in range(5)]
+                 + [(0, 5, AROMATIC)])
+    m.aromatic = np.ones(6, bool)
+    return m
+
+
+def ethanol() -> Molecule:
+    pos = np.array([[0, 0, 0], [1.52, 0, 0], [2.0, 1.33, 0]])
+    return Molecule(np.array([6, 6, 8]), pos, [(0, 1, 1), (1, 2, 1)])
+
+
+def test_check_stability_good_molecule():
+    m = ethanol()
+    stable, n_stable, n = check_stability(m.pos, m.atomic_nums)
+    assert stable and n_stable == 3 and n == 3
+
+
+def test_check_stability_bad_geometry():
+    # two carbons 5 Å apart: 0 bonds each -> unstable
+    pos = np.array([[0, 0, 0], [5.0, 0, 0]])
+    stable, n_stable, n = check_stability(pos, [6, 6])
+    assert not stable and n_stable == 0
+
+
+def test_analyze_stability_aggregate():
+    m = ethanol()
+    out = analyze_stability_for_molecules([(m.pos, m.atomic_nums)] * 3)
+    assert out["mol_stable"] == 1.0 and out["atm_stable"] == 1.0
+
+
+def test_bond_length_profile_and_jsd():
+    m = ethanol()
+    data = eval_bond.bond_distances_from_mol(m)
+    profile = eval_bond.get_bond_length_profile(data)
+    assert (6, 6, 1) in profile and (6, 8, 1) in profile
+    np.testing.assert_allclose(profile[(6, 6, 1)].sum(), 1.0)
+    # JSD of identical profiles is 0
+    metrics = eval_bond.eval_bond_length_profile(profile, profile)
+    assert metrics["JSD_6-6|1"] == pytest.approx(0.0, abs=1e-9)
+    # missing bond type yields None
+    metrics = eval_bond.eval_bond_length_profile(
+        {}, {(6, 7, 2): profile[(6, 6, 1)]})
+    assert metrics["JSD_6-7|2"] is None
+
+
+def test_empirical_profile_roundtrip(tmp_path):
+    mols = [ethanol(), benzene()]
+    bond_p, pair_p = eval_bond.build_empirical_profiles(mols)
+    path = str(tmp_path / "profiles.json")
+    eval_bond.save_profiles(path, bond_p, pair_p)
+    bond_b, pair_b = eval_bond.load_profiles(path)
+    for k in bond_p:
+        np.testing.assert_allclose(bond_b[k], bond_p[k])
+    np.testing.assert_allclose(pair_b["CC_2A"], pair_p["CC_2A"])
+
+
+def test_atom_type_jsd():
+    perfect = Counter({z: int(f * 10000) for z, f in
+                       eval_atom.MOSES2_ATOM_TYPE_DISTRIBUTION.items()})
+    assert eval_atom.eval_atom_type_distribution(perfect) < 0.01
+    bad = Counter({9: 100})
+    assert eval_atom.eval_atom_type_distribution(bad) > 0.5
+
+
+def test_fingerprint_tanimoto():
+    assert sim.tanimoto_sim(benzene(), benzene()) == 1.0
+    assert sim.tanimoto_sim(benzene(), ethanol()) < 0.5
+    m = sim.tanimoto_sim_pairwise([benzene(), ethanol(), benzene()])
+    assert m[0, 2] == 1.0 and m[0, 1] < 0.5
+    assert 0 <= sim.average_pairwise_diversity([benzene(), ethanol()]) < 1
+    assert sim.average_pairwise_diversity(
+        [benzene(), benzene()]) == pytest.approx(1.0)
+
+
+def test_rocs_identity_and_symmetry():
+    a = benzene().pos
+    assert sim.get_rocs(a, a) == pytest.approx(1.0, abs=1e-9)
+    b = a + np.array([3.0, 0, 0])
+    r1, r2 = sim.get_rocs(a, b), sim.get_rocs(b, a)
+    assert r1 == pytest.approx(r2, abs=1e-9)
+    assert 0 < r1 < 1.0
+
+
+def test_rocs_matches_reference_formula():
+    """Cross-check against an independent dense evaluation of the reference's
+    VAB formula (shaep_utils.py:59-72) with non-uniform shapes."""
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((5, 3))
+    b = rng.standard_normal((7, 3))
+    alpha, p = 0.81, 0.8
+
+    def vab(c1, c2):
+        r2 = np.sum((c2[:, None] - c1[None]) ** 2, -1)  # transposed like ref
+        return np.sum(np.pi ** 1.5 * p * p * np.exp(-(alpha * alpha /
+                       (alpha + alpha)) * r2) / (alpha + alpha) ** 1.5)
+
+    expect = vab(a, b) / (vab(a, a) + vab(b, b) - vab(a, b))
+    assert sim.get_rocs(a, b) == pytest.approx(float(expect), abs=1e-9)
+
+
+def test_alignment_recovers_rotation(rot):
+    a = benzene().pos + np.random.default_rng(1).standard_normal((6, 3)) * 0.05
+    b = a @ rot + np.array([1.0, -2.0, 0.5])
+    aligned, t = sim.align_by_overlap(a, b)
+    assert t > 0.93          # near-perfect overlap after alignment
+    assert t > sim.shape_tanimoto(b, a) - 1e-9
+
+
+def test_gasteiger_charges():
+    m = ethanol()
+    q = gasteiger_charges(m)
+    assert q.shape == (3,)
+    # oxygen should be the most negative atom
+    assert np.argmin(q) == 2
+    assert abs(q.sum()) < 0.05           # ~charge conservation
+
+
+def test_esp_and_shape_sim():
+    m = ethanol()
+    assert esp_sim(m, m) == pytest.approx(1.0, abs=1e-9)
+    assert get_shape_sim(m, m) == pytest.approx(1.0, abs=1e-9)
+    m2 = Molecule(m.atomic_nums, m.pos + np.array([2.0, 0, 0]), m.bonds)
+    assert esp_sim(m, m2) < 1.0
+
+
+def test_scoring_bundle():
+    m = benzene()
+    chem = scoring.get_chem(m)
+    assert 0 < chem["qed"] < 1
+    assert 0 < chem["sa"] <= 1
+    assert chem["lipinski"] >= 4
+    assert chem["ring_size"] == [6]
+    assert scoring.h_bond_donors(ethanol()) == 1
+    assert scoring.h_bond_acceptors(ethanol()) == 1
+    assert scoring.rotatable_bonds(ethanol()) == 0
+    assert scoring.mol_weight(benzene()) == pytest.approx(78.1, abs=0.5)
+
+
+def test_process_sample_and_evaluate_generation():
+    # build a few valid "generated" samples: ideal benzene + ethanol coords
+    benz = benzene()
+    eth = ethanol()
+    v_benz = [2] * 6                     # (C, aromatic) in add_aromatic vocab
+    v_eth = [1, 1, 5]                    # C, C, O non-aromatic
+    res = process_sample(benz.pos, v_benz)
+    assert res.mol is not None and res.complete
+
+    results = {0: [(benz.pos, v_benz), (eth.pos, v_eth)],
+               1: [(eth.pos, v_eth)]}
+    refs = {0: benz, 1: eth}
+    metrics = evaluate_generation(results, refs)
+    assert metrics["n_samples"] == 3
+    assert metrics["recon_success"] == 1.0
+    assert metrics["complete"] == 1.0
+    assert 0 < metrics["uniq_over_complete"] <= 1.0
+    assert metrics["rocs_mean"] is not None
+    assert metrics["ref_tanimoto_max"] == 1.0
+    assert metrics["qed_mean"] is not None
+    assert metrics["ring_size_ratio"][6] > 0
