@@ -1,0 +1,254 @@
+"""Stage-2 training CLI: the shape-conditioned diffusion model.
+
+Usage:
+  python -m shapemol_tpu.cli.train_diffusion configs/training/diffusion.yml \
+      [--logdir logs] [--max_iters N] [--synthetic N] [--shape_ckpt dir]
+
+Functional parity target: scripts/train_diffusion.py (config surface,
+transforms, gradient clip, val sweep over 10 fixed timesteps + atom-type
+AUROC, plateau scheduler on val loss, best-ckpt save, resume).
+TPU-native: bucketed padded batches on a data-parallel mesh; shape
+embeddings precomputed with the jitted stage-1 encoder.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shapemol_tpu.chem import vocab
+from shapemol_tpu.core import misc
+from shapemol_tpu.core.checkpoint import (restore_checkpoint, save_checkpoint,
+                                          latest_step)
+from shapemol_tpu.core.config import load_config, build_score_model_config
+from shapemol_tpu.data.batching import BucketBatcher, split_moses2
+from shapemol_tpu.data.packs import PackDataset
+from shapemol_tpu.models.score_model import ShapeDiffusionNet
+from shapemol_tpu.parallel.mesh import make_mesh
+from shapemol_tpu.train.loops import (make_diffusion_eval_step,
+                                      make_diffusion_train_step)
+from shapemol_tpu.train.train_state import (create_train_state, get_scheduler,
+                                            get_learning_rate, make_optimizer,
+                                            set_learning_rate)
+
+
+def atom_type_auroc(pred_logits, true_v, node_mask, num_classes):
+    """One-vs-rest macro AUROC over valid atoms
+    (reference scripts/train_diffusion.py:27-41)."""
+    from sklearn.metrics import roc_auc_score
+    m = np.asarray(node_mask).reshape(-1)
+    probs = jax.nn.softmax(jnp.asarray(pred_logits), -1)
+    probs = np.asarray(probs).reshape(-1, probs.shape[-1])[m]
+    true = np.asarray(true_v).reshape(-1)[m]
+    present = [c for c in range(num_classes) if (true == c).any()]
+    if len(present) < 2:
+        return float("nan")
+    onehot = np.eye(num_classes)[true][:, present]
+    return float(roc_auc_score(onehot, probs[:, present], average="macro"))
+
+
+def build_dataset(cfg, args, logger):
+    pack_pattern = os.path.join(
+        cfg.data.get("processed_path", "./processed_data"),
+        f"shapemol_{cfg.data.get('version', 'v1')}.*.npz")
+    if not glob.glob(pack_pattern):
+        if args.synthetic:
+            from shapemol_tpu.data.synthetic import random_dataset
+            mols = random_dataset(args.synthetic, seed=2021)
+        else:
+            from shapemol_tpu.chem.sdf import read_sdf
+            mols = read_sdf(cfg.data.path)
+        logger.info(f"preprocessing {len(mols)} molecules")
+        encoder_fn = None
+        shape_ckpt = args.shape_ckpt or cfg.data.get_path("shape.checkpoint")
+        if shape_ckpt and os.path.exists(str(shape_ckpt)):
+            encoder_fn = load_shape_encoder(shape_ckpt, logger)
+        else:
+            logger.warning("no stage-1 checkpoint — using a randomly "
+                           "initialized frozen encoder for shape embeddings")
+            encoder_fn = random_shape_encoder(cfg)
+        from shapemol_tpu.data.preprocess import preprocess_molecules
+        preprocess_molecules(
+            mols, pack_pattern.replace(".*.npz", ""),
+            encoder_fn=encoder_fn,
+            atom_mode=cfg.data.get_path("transform.ligand_atom_mode",
+                                        "add_aromatic"),
+            point_cloud_samples=cfg.data.get_path("shape.point_cloud_samples",
+                                                  512),
+            num_workers=args.num_workers)
+    return PackDataset(pack_pattern)
+
+
+def random_shape_encoder(cfg, latent_dim: int = 32):
+    import jax
+    from shapemol_tpu.models.shape_ae import PointCloudAE, ShapeAEConfig
+    ae = PointCloudAE(ShapeAEConfig(latent_dim=latent_dim))
+    P = cfg.data.get_path("shape.point_cloud_samples", 512)
+    variables = ae.init(jax.random.PRNGKey(2021),
+                        jnp.zeros((1, P, 3)), jnp.zeros((1, 8, 3)))
+
+    @jax.jit
+    def encode(clouds):
+        return ae.apply(variables, clouds, method=ae.encode)
+    return encode
+
+
+def load_shape_encoder(ckpt_path: str, logger):
+    """Load a stage-1 checkpoint (orbax dir from train_shape_ae, or a torch
+    se_model.pt via the compat importer)."""
+    from shapemol_tpu.models.shape_ae import PointCloudAE, ShapeAEConfig
+    if str(ckpt_path).endswith(".pt"):
+        from shapemol_tpu.compat.torch_import import load_se_model
+        model, variables = load_se_model(ckpt_path)
+    else:
+        from shapemol_tpu.core.config import build_shape_ae_config, AttrDict
+        import json
+        step = latest_step(ckpt_path)
+        with open(os.path.join(ckpt_path, f"step_{step}", "meta.json")) as f:
+            meta = json.load(f)
+        mcfg = build_shape_ae_config(AttrDict.convert(meta["config"]["model"]))
+        model = PointCloudAE(mcfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 512, 3)), jnp.zeros((1, 8, 3)))
+        from shapemol_tpu.train.train_state import (create_train_state,
+                                                    make_optimizer)
+        template = create_train_state(variables["params"],
+                                      variables.get("batch_stats"),
+                                      make_optimizer())
+        state, _ = restore_checkpoint(ckpt_path, template, step)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    logger.info(f"loaded stage-1 encoder from {ckpt_path}")
+
+    @jax.jit
+    def encode(clouds):
+        return model.apply(variables, clouds, method=model.encode)
+    return encode
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--logdir", default="./logs")
+    p.add_argument("--tag", default="")
+    p.add_argument("--max_iters", type=int, default=None)
+    p.add_argument("--val_freq", type=int, default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--shape_ckpt", default=None)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume from")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices)")
+    args = p.parse_args()
+
+    cfg = load_config(args.config)
+    misc.seed_all(cfg.train.seed)
+    log_dir = misc.get_new_log_dir(args.logdir, prefix="diffusion",
+                                   tag=args.tag)
+    logger = misc.get_logger("train_diffusion", log_dir)
+    logger.info(f"devices: {jax.devices()}")
+
+    dataset = build_dataset(cfg, args, logger)
+    atom_mode = cfg.data.get_path("transform.ligand_atom_mode", "add_aromatic")
+    num_classes = vocab.feature_dim(atom_mode)
+    split = split_moses2(len(dataset))
+    logger.info(f"dataset: {len(dataset)} molecules, "
+                f"{len(split['train'])} train / {len(split['val'])} val")
+
+    model_cfg = build_score_model_config(cfg.model, num_classes)
+    net = ShapeDiffusionNet(model_cfg)
+    dsched = model_cfg.make_schedule()
+
+    batcher = BucketBatcher(dataset, cfg.train.batch_size,
+                            random_rotate=bool(cfg.data.get_path(
+                                "transform.random_rot", False)),
+                            seed=cfg.train.seed, indices=split["train"])
+    val_batcher = BucketBatcher(dataset, cfg.train.batch_size,
+                                seed=7, indices=split["val"])
+    it_batches = iter(batcher)
+    example = next(it_batches)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    variables = net.init(rng, jnp.asarray(example["pos"]),
+                         jnp.asarray(example["v"]),
+                         jnp.asarray(example["node_mask"]),
+                         jnp.asarray(example["shape_emb"]),
+                         jnp.zeros((example["pos"].shape[0],), jnp.int32))
+    logger.info(f"params: {misc.count_parameters(variables['params']):,}")
+
+    tx = make_optimizer(lr=cfg.train.optimizer.lr,
+                        beta1=cfg.train.optimizer.get("beta1", 0.95),
+                        beta2=cfg.train.optimizer.get("beta2", 0.999),
+                        weight_decay=cfg.train.optimizer.get("weight_decay", 0),
+                        max_grad_norm=cfg.train.get("max_grad_norm", 8.0))
+    state = create_train_state(variables["params"],
+                               variables.get("batch_stats"), tx)
+    start_it = 1
+    if args.resume:
+        state, meta = restore_checkpoint(args.resume, state)
+        start_it = int(meta.get("step", 0)) + 1
+        logger.info(f"resumed from {args.resume} at step {start_it - 1}")
+
+    sched = get_scheduler(cfg.train.scheduler.type,
+                          **{k: v for k, v in cfg.train.scheduler.items()
+                             if k != "type"})
+    mesh = make_mesh(args.mesh) if args.mesh > 1 else None
+    train_step = make_diffusion_train_step(net, dsched, tx, mesh=mesh)
+    eval_step = make_diffusion_eval_step(net, dsched)
+
+    val_batches = val_batcher.fixed_batches(
+        max(1, min(4, len(split["val"]) // cfg.train.batch_size)), seed=7)
+    val_ts = np.linspace(0, model_cfg.num_diffusion_timesteps - 1, 10
+                         ).astype(int)
+
+    max_iters = args.max_iters or cfg.train.max_iters
+    val_freq = args.val_freq or cfg.train.val_freq
+    best_val = float("inf")
+
+    for it in range(start_it, max_iters + 1):
+        batch = next(it_batches)
+        jb = {"pos": jnp.asarray(batch["pos"]),
+              "v": jnp.asarray(batch["v"]),
+              "node_mask": jnp.asarray(batch["node_mask"]),
+              "shape_emb": jnp.asarray(batch["shape_emb"])}
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(state, step_rng, jb)
+        if it % 100 == 0 or it == start_it:
+            logger.info(f"[train] it {it} loss {float(metrics['loss']):.4f} "
+                        f"pos {float(metrics['loss_pos']):.4f} "
+                        f"v {float(metrics['loss_v']):.4f} "
+                        f"grad {float(metrics['grad_norm']):.3f} "
+                        f"lr {get_learning_rate(state):.2e}")
+        if it % val_freq == 0 or it == max_iters:
+            losses, aurocs = [], []
+            for vb in val_batches:
+                jvb = {k: jnp.asarray(v) for k, v in vb.items()
+                       if k in ("pos", "v", "node_mask", "shape_emb")}
+                for t in val_ts:
+                    rng, er = jax.random.split(rng)
+                    out = eval_step(state, er, jvb, jnp.int32(t))
+                    losses.append(float(out["loss"]))
+                    if t == val_ts[len(val_ts) // 2]:
+                        aurocs.append(atom_type_auroc(
+                            out["pred_ligand_v"], vb["v"], vb["node_mask"],
+                            num_classes))
+            val_loss = float(np.mean(losses))
+            logger.info(f"[val] it {it} loss {val_loss:.4f} "
+                        f"auroc {np.nanmean(aurocs):.4f}")
+            new_lr = sched.step(val_loss, get_learning_rate(state))
+            state = set_learning_rate(state, new_lr)
+            if val_loss < best_val:
+                best_val = val_loss
+                path = save_checkpoint(os.path.join(log_dir, "checkpoints"),
+                                       it, state, config=dict(cfg),
+                                       scheduler_state=vars(sched))
+                logger.info(f"[ckpt] best val {best_val:.4f} -> {path}")
+    logger.info("done")
+
+
+if __name__ == "__main__":
+    main()

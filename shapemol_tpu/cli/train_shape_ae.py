@@ -1,0 +1,150 @@
+"""Stage-1 training CLI: the shape point-cloud autoencoder.
+
+Usage:
+  python -m shapemol_tpu.cli.train_shape_ae configs/shape/pointcloud_ae.yml \
+      [--logdir logs] [--tag t] [--max_iters N] [--synthetic N]
+
+Functional parity target: scripts/train_shapeAE.py (config surface, train
+loss + clip 8.0, val loss/acc/recall, plateau scheduler, best-ckpt save).
+TPU-native: jitted train step on a data-parallel mesh; preprocessing builds
+dense packs instead of LMDB.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shapemol_tpu.core.config import load_config, build_shape_ae_config
+from shapemol_tpu.core import misc
+from shapemol_tpu.core.checkpoint import save_checkpoint
+from shapemol_tpu.data.preprocess import (preprocess_shape_dataset,
+                                          ShapePackDataset)
+from shapemol_tpu.models.shape_ae import PointCloudAE
+from shapemol_tpu.parallel.mesh import make_mesh
+from shapemol_tpu.train.loops import (make_shape_ae_train_step,
+                                      make_shape_ae_eval_step)
+from shapemol_tpu.train.train_state import (create_train_state, get_scheduler,
+                                            make_optimizer, set_learning_rate,
+                                            get_learning_rate)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--logdir", default="./logs")
+    p.add_argument("--tag", default="")
+    p.add_argument("--max_iters", type=int, default=None)
+    p.add_argument("--val_freq", type=int, default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic molecules instead of reading "
+                        "data.path (smoke runs)")
+    p.add_argument("--num_workers", type=int, default=0)
+    args = p.parse_args()
+
+    cfg = load_config(args.config)
+    misc.seed_all(cfg.train.seed)
+    log_dir = misc.get_new_log_dir(args.logdir, prefix="shape_ae",
+                                   tag=args.tag)
+    logger = misc.get_logger("train_shape_ae", log_dir)
+    logger.info(f"devices: {jax.devices()}")
+
+    # ---- data
+    pack_pattern = os.path.join(
+        cfg.data.get("processed_path", "./processed_data"),
+        f"shape_{cfg.data.get('version', 'v1')}.*.npz")
+    if not glob.glob(pack_pattern):
+        if args.synthetic:
+            from shapemol_tpu.data.synthetic import random_dataset
+            mols = random_dataset(args.synthetic, seed=cfg.train.seed)
+        else:
+            from shapemol_tpu.chem.sdf import read_sdf
+            mols = read_sdf(cfg.data.path)
+        logger.info(f"preprocessing {len(mols)} molecules -> packs")
+        preprocess_shape_dataset(
+            mols, pack_pattern.replace(".*.npz", ""),
+            point_cloud_samples=cfg.data.get("point_cloud_samples", 512),
+            num_query=cfg.data.get("num_samples", 1024),
+            num_workers=args.num_workers)
+    dataset = ShapePackDataset(pack_pattern)
+    n = len(dataset)
+    n_val = max(min(n // 10, 256), 1)
+    val_idx = np.arange(n - n_val, n)
+    train_idx = np.arange(n - n_val)
+    logger.info(f"dataset: {n} clouds ({len(train_idx)} train/{n_val} val)")
+
+    # ---- model/optim
+    model_cfg = build_shape_ae_config(cfg.model)
+    model = PointCloudAE(model_cfg)
+    bs = cfg.train.batch_size
+    pbs = cfg.train.get("point_batch_size", 1024)
+    rng_np = np.random.default_rng(cfg.train.seed)
+    example = dataset.batch(train_idx[:bs] if len(train_idx) >= bs
+                            else train_idx, point_batch_size=pbs, rng=rng_np)
+    variables = model.init(jax.random.PRNGKey(cfg.train.seed),
+                           jnp.asarray(example["point_cloud"]),
+                           jnp.asarray(example["query_points"]))
+    logger.info(f"params: {misc.count_parameters(variables['params']):,}")
+
+    tx = make_optimizer(lr=cfg.train.optimizer.lr,
+                        beta1=cfg.train.optimizer.get("beta1", 0.95),
+                        beta2=cfg.train.optimizer.get("beta2", 0.999),
+                        weight_decay=cfg.train.optimizer.get("weight_decay", 0),
+                        max_grad_norm=cfg.train.get("max_grad_norm", 8.0))
+    state = create_train_state(variables["params"],
+                               variables.get("batch_stats"), tx)
+    sched = get_scheduler(cfg.train.scheduler.type,
+                          **{k: v for k, v in cfg.train.scheduler.items()
+                             if k != "type"})
+    train_step = make_shape_ae_train_step(model, tx)
+    eval_step = make_shape_ae_eval_step(model)
+
+    max_iters = args.max_iters or cfg.train.max_iters
+    val_freq = args.val_freq or cfg.train.val_freq
+    best_val = float("inf")
+
+    for it in range(1, max_iters + 1):
+        idxs = rng_np.choice(train_idx, size=bs,
+                             replace=len(train_idx) < bs)
+        batch = dataset.batch(idxs, point_batch_size=pbs, rng=rng_np)
+        batch = {"point_cloud": jnp.asarray(batch["point_cloud"]),
+                 "query_points": jnp.asarray(batch["query_points"]),
+                 "values": jnp.asarray(batch["values"])}
+        state, metrics = train_step(state, batch)
+        if it % 100 == 0 or it == 1:
+            logger.info(f"[train] it {it} loss {float(metrics['loss']):.6f} "
+                        f"grad {float(metrics['grad_norm']):.4f} "
+                        f"lr {get_learning_rate(state):.2e}")
+        if it % val_freq == 0 or it == max_iters:
+            losses, accs, recs = [], [], []
+            for v0 in range(0, len(val_idx), bs):
+                vb = dataset.batch(val_idx[v0:v0 + bs],
+                                   point_batch_size=pbs, rng=rng_np)
+                loss, acc, rec = eval_step(state, {
+                    "point_cloud": jnp.asarray(vb["point_cloud"]),
+                    "query_points": jnp.asarray(vb["query_points"]),
+                    "values": jnp.asarray(vb["values"])})
+                losses.append(float(loss))
+                accs.append(float(acc))
+                recs.append(float(rec))
+            val_loss = float(np.mean(losses))
+            logger.info(f"[val] it {it} loss {val_loss:.6f} "
+                        f"acc {np.mean(accs):.4f} recall {np.mean(recs):.4f}")
+            new_lr = sched.step(val_loss, get_learning_rate(state))
+            state = set_learning_rate(state, new_lr)
+            if val_loss < best_val:
+                best_val = val_loss
+                path = save_checkpoint(os.path.join(log_dir, "checkpoints"),
+                                       it, state,
+                                       config=dict(cfg),
+                                       scheduler_state=vars(sched))
+                logger.info(f"[ckpt] best val {best_val:.6f} -> {path}")
+    logger.info("done")
+
+
+if __name__ == "__main__":
+    main()

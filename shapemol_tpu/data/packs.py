@@ -1,0 +1,110 @@
+"""Packed-array molecule storage — the TPU-native replacement for the
+reference's LMDB pickled-PyG-dict store (datasets/shape_mol_dataset.py:41-53,
+datasets/shape_data.py:32-45).
+
+A "pack" is one .npz shard holding padded dense arrays for many molecules:
+  pos        (M, N_max, 3) float32
+  v          (M, N_max)    int32    featurized atom-type indices
+  node_mask  (M, N_max)    bool
+  shape_emb  (M, S, 3)     float32  (optional)
+  bounds     (M, 3, 2)     float32  (optional)
+  cloud      (M, P, 3)     float32  (optional, for guidance)
+  smiles     (M,)          str      (optional, provenance)
+Shards are written per host in multi-host preprocessing; readers mmap lazily.
+This keeps the storage layout identical to the compute layout — a batch is a
+slice, no per-item unpickling or collation."""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MoleculeRecord:
+    pos: np.ndarray                      # (n, 3)
+    v: np.ndarray                        # (n,) featurized indices
+    shape_emb: Optional[np.ndarray] = None      # (S, 3)
+    bounds: Optional[np.ndarray] = None         # (3, 2)
+    cloud: Optional[np.ndarray] = None          # (P, 3)
+    smiles: str = ""
+
+
+def write_pack(path: str, records: Sequence[MoleculeRecord],
+               n_max: Optional[int] = None) -> None:
+    if not records:
+        raise ValueError("no records")
+    n_max = n_max or max(len(r.v) for r in records)
+    M = len(records)
+    pos = np.zeros((M, n_max, 3), np.float32)
+    v = np.zeros((M, n_max), np.int32)
+    mask = np.zeros((M, n_max), bool)
+    arrays: Dict[str, np.ndarray] = {"pos": pos, "v": v, "node_mask": mask}
+    has_shape = records[0].shape_emb is not None
+    has_bounds = records[0].bounds is not None
+    has_cloud = records[0].cloud is not None
+    if has_shape:
+        S = records[0].shape_emb.shape[0]
+        arrays["shape_emb"] = np.zeros((M, S, 3), np.float32)
+    if has_bounds:
+        arrays["bounds"] = np.zeros((M, 3, 2), np.float32)
+    if has_cloud:
+        P = records[0].cloud.shape[0]
+        arrays["cloud"] = np.zeros((M, P, 3), np.float32)
+    smiles = []
+    for k, r in enumerate(records):
+        n = len(r.v)
+        if n > n_max:
+            raise ValueError(f"molecule with {n} atoms > n_max {n_max}")
+        pos[k, :n] = r.pos
+        v[k, :n] = r.v
+        mask[k, :n] = True
+        if has_shape:
+            arrays["shape_emb"][k] = r.shape_emb
+        if has_bounds:
+            arrays["bounds"][k] = r.bounds
+        if has_cloud:
+            arrays["cloud"][k] = r.cloud
+        smiles.append(r.smiles)
+    arrays["smiles"] = np.asarray(smiles)
+    np.savez_compressed(path, **arrays)
+
+
+class PackDataset:
+    """Lazily-loaded collection of pack shards."""
+
+    def __init__(self, pattern: str):
+        self.paths = sorted(glob.glob(pattern)) if "*" in pattern \
+            else [pattern]
+        if not self.paths:
+            raise FileNotFoundError(pattern)
+        self._shards = [np.load(p, allow_pickle=False) for p in self.paths]
+        self._sizes = [s["pos"].shape[0] for s in self._shards]
+        self._offsets = np.cumsum([0] + self._sizes)
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    @property
+    def n_max(self) -> int:
+        return max(s["pos"].shape[1] for s in self._shards)
+
+    def keys(self) -> List[str]:
+        return [k for k in self._shards[0].files if k != "smiles"]
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        shard = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        local = idx - self._offsets[shard]
+        s = self._shards[shard]
+        return {k: s[k][local] for k in s.files if k != "smiles"}
+
+    def gather(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        items = [self[int(i)] for i in indices]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def num_atoms(self) -> np.ndarray:
+        return np.concatenate([s["node_mask"].sum(axis=1)
+                               for s in self._shards]).astype(np.int64)

@@ -38,5 +38,7 @@ def eval_atom_type_distribution(pred_counter: Counter,
                                 ) -> float:
     ref = reference or MOSES2_ATOM_TYPE_DISTRIBUTION
     total = sum(pred_counter.values())
-    pred = np.array([pred_counter.get(z, 0) / max(total, 1) for z in ref])
+    if total == 0:
+        return float("nan")
+    pred = np.array([pred_counter.get(z, 0) / total for z in ref])
     return float(jensenshannon(np.array(list(ref.values())), pred))

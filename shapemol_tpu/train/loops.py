@@ -84,6 +84,8 @@ def make_diffusion_eval_step(net: ShapeDiffusionNet,
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
+        # t is a traced scalar (int32 array) — one compile serves every
+        # validation timestep
         t_vec = jnp.full((batch["pos"].shape[0],), t, jnp.int32)
         loss, aux = diffusion_loss(
             net, sched, variables, rng, batch["pos"], batch["v"],
@@ -92,8 +94,7 @@ def make_diffusion_eval_step(net: ShapeDiffusionNet,
                 "loss_v": aux["loss_v"],
                 "pred_ligand_v": aux["pred_ligand_v"]}
 
-    return jax.jit(step, static_argnums=(3,)) if mesh is None else jax.jit(
-        step, static_argnums=(3,))
+    return jax.jit(step)
 
 
 def make_shape_ae_train_step(model: PointCloudAE,

@@ -1,0 +1,187 @@
+"""Data pipeline tests: packs, bucketing, splits, preprocessing, synthetic
+generator, atom prior."""
+import numpy as np
+import pytest
+
+from shapemol_tpu.data.packs import MoleculeRecord, PackDataset, write_pack
+from shapemol_tpu.data.batching import (BucketBatcher, bucket_of,
+                                        split_moses2)
+from shapemol_tpu.data.preprocess import (preprocess_molecules,
+                                          preprocess_shape_dataset,
+                                          ShapePackDataset,
+                                          featurize_molecule)
+from shapemol_tpu.data.synthetic import random_dataset
+from shapemol_tpu.sample.atom_prior import AtomNumPrior, build_atomnum_prior
+
+
+@pytest.fixture(scope="module")
+def mols():
+    return random_dataset(12, seed=3)
+
+
+def _records(n=20, seed=0):
+    rng = np.random.default_rng(seed)
+    recs = []
+    for _ in range(n):
+        k = int(rng.integers(5, 30))
+        recs.append(MoleculeRecord(
+            pos=rng.standard_normal((k, 3)).astype(np.float32),
+            v=rng.integers(0, 15, k).astype(np.int32),
+            shape_emb=rng.standard_normal((32, 3)).astype(np.float32),
+            bounds=rng.standard_normal((3, 2)).astype(np.float32),
+            smiles=f"mol{_}"))
+    return recs
+
+
+def test_pack_roundtrip(tmp_path):
+    recs = _records()
+    path = str(tmp_path / "pack.npz")
+    write_pack(path, recs, n_max=32)
+    ds = PackDataset(path)
+    assert len(ds) == 20
+    item = ds[3]
+    n = len(recs[3].v)
+    np.testing.assert_allclose(item["pos"][:n], recs[3].pos, atol=1e-6)
+    assert item["node_mask"][:n].all() and not item["node_mask"][n:].any()
+    np.testing.assert_array_equal(ds.num_atoms(),
+                                  [len(r.v) for r in recs])
+
+
+def test_pack_multi_shard(tmp_path):
+    write_pack(str(tmp_path / "p.shard000.npz"), _records(5, 1), n_max=32)
+    write_pack(str(tmp_path / "p.shard001.npz"), _records(7, 2), n_max=32)
+    ds = PackDataset(str(tmp_path / "p.shard*.npz"))
+    assert len(ds) == 12
+    batch = ds.gather([0, 6, 11])
+    assert batch["pos"].shape == (3, 32, 3)
+
+
+def test_bucket_batcher(tmp_path):
+    path = str(tmp_path / "pack.npz")
+    write_pack(path, _records(50, 4), n_max=32)
+    ds = PackDataset(path)
+    b = BucketBatcher(ds, batch_size=8, buckets=(16, 24, 32), seed=0)
+    it = iter(b)
+    seen_shapes = set()
+    for _ in range(10):
+        batch = next(it)
+        B, N = batch["pos"].shape[:2]
+        assert B == 8 and N in (16, 24, 32)
+        seen_shapes.add(N)
+        # every molecule fits its bucket
+        assert batch["node_mask"].sum(1).max() <= N
+    assert len(seen_shapes) >= 1
+
+
+def test_bucket_batcher_split_restriction(tmp_path):
+    path = str(tmp_path / "pack.npz")
+    write_pack(path, _records(40, 5), n_max=32)
+    ds = PackDataset(path)
+    idx = np.arange(10)
+    b = BucketBatcher(ds, batch_size=4, indices=idx, seed=0)
+    pool = np.concatenate([v for v in b._by_bucket.values()])
+    assert set(pool.tolist()) <= set(idx.tolist())
+
+
+def test_random_rotation_augment(tmp_path):
+    path = str(tmp_path / "pack.npz")
+    write_pack(path, _records(10, 6), n_max=32)
+    ds = PackDataset(path)
+    b1 = BucketBatcher(ds, 4, seed=1, random_rotate=False)
+    b2 = BucketBatcher(ds, 4, seed=1, random_rotate=True)
+    x1, x2 = next(iter(b1)), next(iter(b2))
+    # same molecules drawn, rotated coordinates: norms preserved
+    n1 = np.linalg.norm(x1["pos"], axis=-1)
+    n2 = np.linalg.norm(x2["pos"], axis=-1)
+    np.testing.assert_allclose(n1, n2, atol=1e-4)
+    assert not np.allclose(x1["pos"], x2["pos"])
+
+
+def test_split_moses2():
+    s = split_moses2(100000)
+    assert len(s["val"]) <= 1000
+    assert len(set(s["val"]) & set(s["train"])) == 0
+    # small dataset: val shrinks
+    s = split_moses2(50)
+    assert 1 <= len(s["val"]) <= 5
+    assert len(s["train"]) >= 40
+
+
+def test_bucket_of():
+    assert bucket_of(10) == 16
+    assert bucket_of(17) == 24
+    assert bucket_of(100) == 64
+
+
+def test_featurize_and_preprocess(tmp_path, mols):
+    v = featurize_molecule(mols[0])
+    assert v is not None and v.dtype == np.int32
+    assert (v >= 0).all() and (v < 15).all()
+
+    def dummy_encoder(clouds):
+        return clouds[:, :32, :] * 0.1
+
+    paths = preprocess_molecules(mols, str(tmp_path / "sm"),
+                                 encoder_fn=dummy_encoder,
+                                 point_cloud_samples=64, n_max=64,
+                                 keep_cloud=True)
+    assert paths
+    ds = PackDataset(str(tmp_path / "sm") + ".*.npz")
+    assert len(ds) >= 10
+    assert "shape_emb" in ds.keys() and "bounds" in ds.keys()
+    item = ds[0]
+    assert item["shape_emb"].shape == (32, 3)
+    assert item["cloud"].shape == (64, 3)
+
+
+def test_preprocess_shape_dataset(tmp_path, mols):
+    paths = preprocess_shape_dataset(mols[:4], str(tmp_path / "shape"),
+                                     point_cloud_samples=64, num_query=128)
+    assert paths
+    ds = ShapePackDataset(str(tmp_path / "shape") + ".*.npz")
+    assert len(ds) >= 3
+    batch = ds.batch([0, 1], point_batch_size=32,
+                     rng=np.random.default_rng(0))
+    assert batch["point_cloud"].shape == (2, 64, 3)
+    assert batch["query_points"].shape == (2, 32, 3)
+    assert batch["values"].shape == (2, 32)
+    # signed distances must have both signs overall
+    assert (batch["values"] < 0).any() and (batch["values"] > 0).any()
+
+
+def test_synthetic_molecules(mols):
+    for m in mols:
+        assert m.num_atoms >= 6
+        assert m.is_connected()
+        d = np.linalg.norm(m.pos[:, None] - m.pos[None], axis=-1)
+        np.fill_diagonal(d, 10)
+        assert d.min() > 1.0          # no clashes
+
+
+def test_atom_prior_roundtrip(tmp_path, mols):
+    prior = build_atomnum_prior(mols[:6])
+    path = str(tmp_path / "prior.pkl")
+    prior.save(path)
+    p2 = AtomNumPrior.load(path)
+    key = sorted(p2.table)[0]
+    ns, ps = p2.distribution(key)
+    np.testing.assert_allclose(ps.sum(), 1.0)
+    samples = p2.sample(key, 100, np.random.default_rng(0))
+    assert set(samples) <= set(ns.tolist())
+    # far-away voxel count falls back to the global marginal
+    ns2, ps2 = p2.distribution(10 ** 9)
+    assert len(ns2) >= 1
+
+
+def test_reference_atomnum_prior_loads():
+    """The reference ships this prior as plain-Python pickle — our loader
+    must read it directly (scripts/sample_diffusion.py:218)."""
+    import os
+    path = "/root/reference/data/MOSES2_training_val_shape_atomnum_dict.pkl"
+    if not os.path.exists(path):
+        pytest.skip("reference data not mounted")
+    prior = AtomNumPrior.load(path)
+    assert len(prior.table) > 1000
+    ns, ps = prior.distribution(sorted(prior.table)[len(prior.table) // 2])
+    np.testing.assert_allclose(ps.sum(), 1.0)
+    assert (ns > 0).all() and (ns < 60).all()
