@@ -26,9 +26,9 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
-BATCH = 100          # molecules per sampling batch (reference batch size)
-MAX_ATOMS = 32       # padded bucket for MOSES2-size molecules
-STEPS = 1000         # diffusion steps
+BATCH = int(os.environ.get("BENCH_BATCH", 100))   # reference batch size
+MAX_ATOMS = int(os.environ.get("BENCH_ATOMS", 32))
+STEPS = int(os.environ.get("BENCH_STEPS", 1000))
 SHAPE_CH = 32
 
 
@@ -43,7 +43,9 @@ def build():
         num_diffusion_timesteps=STEPS, num_classes=15, hidden_dim=128,
         denoiser=DenoiserConfig(num_blocks=1, num_layers=8, hidden_dim=128,
                                 n_heads=16, knn=8, num_r_gaussian=20,
-                                shape_dim=32, shape_latent_dim=32))
+                                shape_dim=32, shape_latent_dim=32,
+                                dtype=os.environ.get("BENCH_DTYPE",
+                                                     "bfloat16")))
     net = ShapeDiffusionNet(cfg)
     sched = cfg.make_schedule()
 

@@ -86,6 +86,10 @@ def build_score_model_config(model_cfg: AttrDict, num_classes: int):
         sync_twoup=g("sync_twoup", False),
         shape_dim=g("shape_dim", 32),
         shape_latent_dim=g("shape_latent_dim", 32),
+        topo_emb_type=g("topo_emb_type", None) or "none",
+        num_topo=g("num_topo", 1),
+        atom_enc_mode=g("atom_enc_mode", "add_aromatic"),
+        dtype=g("dtype", "float32"),
     )
     return ScoreModelConfig(
         num_diffusion_timesteps=g("num_diffusion_timesteps", 1000),

@@ -67,6 +67,15 @@ class DenoiserConfig:
     shape_dim: int = 32
     shape_latent_dim: int = 32
     use_equivariant_shape_layer: bool = False   # reference builds it, never calls it (Q3)
+    # topology (covalent-graph) conditioning. The reference's topo path is
+    # dead code (constructor TypeError + 'None'-string config, SURVEY Q3/Q4);
+    # here it is implemented working: num_topo attention layers over the
+    # covalent-radius graph produce per-node features appended to the edge
+    # keys/values.
+    topo_emb_type: str = "none"         # none | topo_layer
+    num_topo: int = 1
+    cov_k: int = 6                      # max covalent partners per atom
+    atom_enc_mode: str = "add_aromatic"
     dtype: str = "float32"              # compute dtype for the hot MLPs
 
 
@@ -121,43 +130,82 @@ class EquivariantShapeEmb(nn.Module):
                                  name="hidden_layer")(shape_h)
 
 
+def _cdtype(cfg: DenoiserConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+class FusedEdgeMLP(nn.Module):
+    """Two 2-layer edge MLPs (k and v branches) with the first Dense fused
+    into ONE matmul over the edge tensor — numerically identical to two
+    separate MLPs (the fused kernel is the concatenation of the branch
+    kernels; LayerNorm/activation stay per-branch)."""
+    out_k: int
+    out_v: int
+    hidden: int
+    norm: bool = True
+    act_fn: str = "relu"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, kv_in: Array):
+        act = {"relu": jax.nn.relu, "silu": jax.nn.silu}[self.act_fn]
+        joint = nn.Dense(2 * self.hidden, dtype=self.dtype,
+                         name="dense_joint")(kv_in)
+        hk, hv = joint[..., :self.hidden], joint[..., self.hidden:]
+        if self.norm:
+            hk = nn.LayerNorm(dtype=self.dtype, name="ln_k")(hk)
+            hv = nn.LayerNorm(dtype=self.dtype, name="ln_v")(hv)
+        hk, hv = act(hk), act(hv)
+        k = nn.Dense(self.out_k, dtype=self.dtype, name="out_k")(hk)
+        v = nn.Dense(self.out_v, dtype=self.dtype, name="out_v")(hv)
+        return k, v
+
+
 class X2HAttLayer(nn.Module):
     """Scalar-feature update via masked multi-head edge attention."""
     cfg: DenoiserConfig
 
     @nn.compact
-    def __call__(self, h, r_feat, nbr_h, invar_shape, e_w, nbr_mask):
+    def __call__(self, h, r_feat, nbr_h, invar_shape, e_w, nbr_mask,
+                 topo=None):
         """h (B,N,H); r_feat (B,N,K,R); nbr_h (B,N,K,H);
-        invar_shape (B,N,S'); e_w (B,N,K,1); nbr_mask (B,N,K)."""
+        invar_shape (B,N,S'); e_w (B,N,K,1); nbr_mask (B,N,K);
+        topo (B,N,H) optional per-node topology features."""
         cfg = self.cfg
         B, N, K, _ = r_feat.shape
         heads, hd = cfg.n_heads, cfg.hidden_dim
         d_head = hd // heads
+        dt = _cdtype(cfg)
 
         hi = jnp.broadcast_to(h[:, :, None, :], nbr_h.shape)
-        kv_in = jnp.concatenate(
-            [r_feat, hi, nbr_h,
-             jnp.broadcast_to(invar_shape[:, :, None, :],
-                              (B, N, K, invar_shape.shape[-1]))], axis=-1)
+        parts = [r_feat, hi, nbr_h]
+        if topo is not None:
+            parts.append(jnp.broadcast_to(topo[:, :, None, :],
+                                          (B, N, K, topo.shape[-1])))
+        parts.append(jnp.broadcast_to(invar_shape[:, :, None, :],
+                                      (B, N, K, invar_shape.shape[-1])))
+        kv_in = jnp.concatenate(parts, axis=-1).astype(dt)
 
-        k = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, name="hk_func")(kv_in)
-        v = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, name="hv_func")(kv_in)
-        v = v * e_w
-        q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, name="hq_func")(h)
+        k, v = FusedEdgeMLP(hd, hd, hd, norm=cfg.norm, act_fn=cfg.act_fn,
+                            dtype=dt, name="hkv_func")(kv_in)
+        v = v * e_w.astype(dt)
+        q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
+                name="hq_func")(h.astype(dt))
 
         k = k.reshape(B, N, K, heads, d_head)
         v = v.reshape(B, N, K, heads, d_head)
         q = q.reshape(B, N, 1, heads, d_head)
 
-        logits = jnp.sum(q * k, axis=-1) / np.sqrt(d_head)   # (B,N,K,heads)
-        alpha = masked_softmax_k(logits, nbr_mask)
+        logits = (jnp.sum(q * k, axis=-1) / np.sqrt(d_head)
+                  ).astype(jnp.float32)                      # (B,N,K,heads)
+        alpha = masked_softmax_k(logits, nbr_mask).astype(dt)
         msg = jnp.sum(alpha[..., None] * v, axis=2)          # (B,N,heads,dh)
         msg = msg.reshape(B, N, hd)
 
-        out = jnp.concatenate([msg, h], axis=-1)
-        out = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn,
+        out = jnp.concatenate([msg, h.astype(dt)], axis=-1)
+        out = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
                   name="node_output")(out)
-        return out + h
+        return out.astype(jnp.float32) + h
 
 
 class H2XAttLayer(nn.Module):
@@ -167,27 +215,32 @@ class H2XAttLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, rel_x, r_feat, nbr_h, invar_shape, shape_emb,
-                 e_w, nbr_mask, node_mask, train: bool):
+                 e_w, nbr_mask, node_mask, train: bool, topo=None):
         cfg = self.cfg
         B, N, K, _ = r_feat.shape
         heads, hd = cfg.n_heads, cfg.hidden_dim
         d_head = hd // heads
 
+        dt = _cdtype(cfg)
         hi = jnp.broadcast_to(h[:, :, None, :], nbr_h.shape)
-        kv_in = jnp.concatenate(
-            [r_feat, hi, nbr_h,
-             jnp.broadcast_to(invar_shape[:, :, None, :],
-                              (B, N, K, invar_shape.shape[-1]))], axis=-1)
+        parts = [r_feat, hi, nbr_h]
+        if topo is not None:
+            parts.append(jnp.broadcast_to(topo[:, :, None, :],
+                                          (B, N, K, topo.shape[-1])))
+        parts.append(jnp.broadcast_to(invar_shape[:, :, None, :],
+                                      (B, N, K, invar_shape.shape[-1])))
+        kv_in = jnp.concatenate(parts, axis=-1).astype(dt)
 
-        k = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, name="xk_func")(kv_in)
-        v = MLP(heads, hd, norm=cfg.norm, act_fn=cfg.act_fn, name="xv_func")(kv_in)
-        v = v * e_w                                            # (B,N,K,heads)
+        k, v = FusedEdgeMLP(hd, heads, hd, norm=cfg.norm, act_fn=cfg.act_fn,
+                            dtype=dt, name="xkv_func")(kv_in)
+        v = (v * e_w.astype(dt)).astype(jnp.float32)           # (B,N,K,heads)
         vv = v[..., None] * rel_x[:, :, :, None, :]            # (B,N,K,heads,3)
 
-        q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, name="xq_func")(h)
+        q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
+                name="xq_func")(h.astype(dt))
         k = k.reshape(B, N, K, heads, d_head)
         q = q.reshape(B, N, 1, heads, d_head)
-        logits = jnp.sum(q * k, axis=-1) / np.sqrt(d_head)
+        logits = (jnp.sum(q * k, axis=-1) / np.sqrt(d_head)).astype(jnp.float32)
         alpha = masked_softmax_k(logits, nbr_mask)
         msg = jnp.sum(alpha[..., None] * vv, axis=2)           # (B,N,heads,3)
 
@@ -202,6 +255,41 @@ class H2XAttLayer(nn.Module):
         return delta
 
 
+class TopoLayer(nn.Module):
+    """Covalent-graph attention producing per-node topology features
+    (reference BaseTopoLayer, uni_transformer.py:191-240: k/v from edge
+    features, masked softmax over covalent partners, output MLP on
+    cat(msg, h) — no residual)."""
+    cfg: DenoiserConfig
+
+    @nn.compact
+    def __call__(self, h, r_feat, nbr_h, e_w, nbr_mask):
+        cfg = self.cfg
+        B, N, K, _ = r_feat.shape
+        heads, hd = cfg.n_heads, cfg.hidden_dim
+        d_head = hd // heads
+        dt = _cdtype(cfg)
+
+        hi = jnp.broadcast_to(h[:, :, None, :], nbr_h.shape)
+        kv_in = jnp.concatenate([r_feat, hi, nbr_h], axis=-1).astype(dt)
+        k, v = FusedEdgeMLP(hd, hd, hd, norm=cfg.norm, act_fn=cfg.act_fn,
+                            dtype=dt, name="xkv_func")(kv_in)
+        v = v * e_w.astype(dt)
+        q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
+                name="xq_func")(h.astype(dt))
+        k = k.reshape(B, N, K, heads, d_head)
+        v = v.reshape(B, N, K, heads, d_head)
+        q = q.reshape(B, N, 1, heads, d_head)
+        logits = (jnp.sum(q * k, axis=-1) / np.sqrt(d_head)
+                  ).astype(jnp.float32)
+        alpha = masked_softmax_k(logits, nbr_mask).astype(dt)
+        msg = jnp.sum(alpha[..., None] * v, axis=2).reshape(B, N, hd)
+        out = jnp.concatenate([msg, h.astype(dt)], axis=-1)
+        out = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
+                  name="topo_output")(out)
+        return out.astype(jnp.float32)
+
+
 class AttentionBlockLayer(nn.Module):
     """One x2h + h2x layer pair with per-layer distance re-expansion
     (reference AttentionLayerO2TwoUpdateNodeGeneral.forward)."""
@@ -209,7 +297,7 @@ class AttentionBlockLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, idx, nbr_mask, invar_shape, shape_emb, e_w,
-                 node_mask, train: bool):
+                 node_mask, train: bool, topo=None):
         cfg = self.cfg
         rbf = GaussianSmearing(0.0, cfg.r_max,
                                num_gaussians=cfg.num_r_gaussian,
@@ -219,26 +307,31 @@ class AttentionBlockLayer(nn.Module):
         rel_x = x[:, :, None, :] - nbr_x                        # dst - src
         dist = jnp.linalg.norm(rel_x + 1e-12, axis=-1)
         nbr_h = gather_neighbors(h, idx)
+        # x is constant throughout the x2h stack and entering the first h2x
+        # iteration, so one RBF expansion serves both (the reference
+        # recomputes the identical expansion — uni_transformer.py:310,320)
+        r_feat = rbf(dist)
 
         h_in = h
         for i in range(cfg.num_x2h):
-            r_feat = rbf(dist)
             h_in = X2HAttLayer(cfg, name=f"x2h_{i}")(
                 h_in, r_feat, nbr_h if i == 0 else gather_neighbors(h_in, idx),
-                invar_shape, e_w, nbr_mask)
+                invar_shape, e_w, nbr_mask, topo=topo)
         x2h_out = h_in
 
         new_h = h if cfg.sync_twoup else x2h_out
-        nbr_new_h = gather_neighbors(new_h, idx)
+        nbr_new_h = (nbr_h if cfg.sync_twoup
+                     else gather_neighbors(new_h, idx))
         for i in range(cfg.num_h2x):
-            r_feat = rbf(dist)
             delta = H2XAttLayer(cfg, name=f"h2x_{i}")(
                 new_h, x, rel_x, r_feat, nbr_new_h, invar_shape, shape_emb,
-                e_w, nbr_mask, node_mask, train)
+                e_w, nbr_mask, node_mask, train, topo=topo)
             x = x + delta * node_mask[..., None].astype(x.dtype)
-            nbr_x = gather_neighbors(x, idx)
-            rel_x = x[:, :, None, :] - nbr_x
-            dist = jnp.linalg.norm(rel_x + 1e-12, axis=-1)
+            if i < cfg.num_h2x - 1:
+                nbr_x = gather_neighbors(x, idx)
+                rel_x = x[:, :, None, :] - nbr_x
+                dist = jnp.linalg.norm(rel_x + 1e-12, axis=-1)
+                r_feat = rbf(dist)
         return x2h_out, x
 
 
@@ -249,11 +342,24 @@ class UniTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, h: Array, x: Array, node_mask: Array,
-                 ligand_shape: Array, train: bool = False):
+                 ligand_shape: Array, train: bool = False,
+                 v: Array | None = None):
         """h (B,N,H) initial node scalars; x (B,N,3) positions;
-        node_mask (B,N) bool; ligand_shape (B,S,3) frozen stage-1 latent.
+        node_mask (B,N) bool; ligand_shape (B,S,3) frozen stage-1 latent;
+        v (B,N) atom-type class indices — required for the covalent-radius
+        graph (cutoff_mode='cov_radius' / topo_emb_type='topo_layer').
         Returns (h_final, x_final)."""
         cfg = self.cfg
+        needs_cov = (cfg.cutoff_mode == "cov_radius"
+                     or cfg.topo_emb_type == "topo_layer")
+        if needs_cov and v is None:
+            raise ValueError("covalent graph requires atom-type indices v")
+        radii_table = None
+        if needs_cov:
+            from shapemol_tpu.ops.covalent import (class_covalent_radii,
+                                                   covalent_knn)
+            radii_table = jnp.asarray(
+                class_covalent_radii(cfg.atom_enc_mode))
 
         invar = InvariantShapeEmb(cfg.shape_dim, cfg.shape_latent_dim,
                                   act_fn=cfg.act_fn, norm=cfg.norm,
@@ -274,17 +380,44 @@ class UniTransformer(nn.Module):
                   for l in range(cfg.num_layers)]
         edge_pred = (MLP(1, cfg.hidden_dim, name="edge_pred_layer")
                      if cfg.ew_net_type == "global" else None)
+        topo_layers = [TopoLayer(cfg, name=f"topo_{l}")
+                       for l in range(cfg.num_topo)] \
+            if cfg.topo_emb_type == "topo_layer" else []
+
+        def pred_ew(x_, idx_):
+            if edge_pred is None:
+                return jnp.ones((*idx_.shape, 1), x_.dtype)
+            nbr = gather_neighbors(x_, idx_)
+            d = jnp.linalg.norm(x_[:, :, None, :] - nbr + 1e-12, axis=-1)
+            return jax.nn.sigmoid(edge_pred(rbf(d)))
 
         for _b_idx in range(cfg.num_blocks):
-            idx, nbr_mask = masked_knn(x, node_mask, cfg.knn)
-            if edge_pred is not None:
-                nbr_x = gather_neighbors(x, idx)
-                dist = jnp.linalg.norm(x[:, :, None, :] - nbr_x + 1e-12,
-                                       axis=-1)
-                e_w = jax.nn.sigmoid(edge_pred(rbf(dist)))      # (B,N,K,1)
+            if cfg.cutoff_mode == "knn":
+                idx, nbr_mask = masked_knn(x, node_mask, cfg.knn)
+            elif cfg.cutoff_mode == "cov_radius":
+                idx, nbr_mask = covalent_knn(x, v, node_mask, radii_table,
+                                             cfg.cov_k)
             else:
-                e_w = jnp.ones((*idx.shape, 1), x.dtype)
+                raise ValueError(f"unsupported cutoff_mode: {cfg.cutoff_mode}")
+            e_w = pred_ew(x, idx)
+
+            topo = None
+            if topo_layers:
+                cov_idx, cov_mask = covalent_knn(x, v, node_mask,
+                                                 radii_table, cfg.cov_k)
+                cov_ew = pred_ew(x, cov_idx)
+                cov_nbr_x = gather_neighbors(x, cov_idx)
+                cov_dist = jnp.linalg.norm(
+                    x[:, :, None, :] - cov_nbr_x + 1e-12, axis=-1)
+                cov_rfeat = rbf(cov_dist)
+                t_in = h
+                for tl in topo_layers:
+                    t_in = tl(t_in, cov_rfeat,
+                              gather_neighbors(t_in, cov_idx), cov_ew,
+                              cov_mask)
+                topo = t_in
+
             for layer in layers:
                 h, x = layer(h, x, idx, nbr_mask, invar, ligand_shape, e_w,
-                             node_mask, train)
+                             node_mask, train, topo=topo)
         return h, x

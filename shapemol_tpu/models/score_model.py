@@ -85,7 +85,7 @@ class ShapeDiffusionNet(nn.Module):
         h = h * node_mask[..., None].astype(h.dtype)
 
         h_final, x_final = UniTransformer(cfg.denoiser, name="refine_net")(
-            h, pos_t, node_mask, ligand_shape, train=train)
+            h, pos_t, node_mask, ligand_shape, train=train, v=v_t)
 
         if cfg.v_net_type == "mlp":
             v = nn.Dense(cfg.hidden_dim, name="v_inf_0")(h_final)

@@ -156,3 +156,64 @@ def test_gather_neighbors():
     out = gather_neighbors(x, idx)
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]), np.asarray(x[0, 1]))
     np.testing.assert_allclose(np.asarray(out[0, 3, 1]), np.asarray(x[0, 1]))
+
+
+def test_covalent_knn():
+    from shapemol_tpu.ops.covalent import covalent_knn, class_covalent_radii
+    radii = jnp.asarray(class_covalent_radii("add_aromatic"))
+    # two bonded carbons (1.5 Å) + one far atom
+    pos = jnp.array([[[0, 0, 0], [1.5, 0, 0], [8.0, 0, 0]]], jnp.float32)
+    v = jnp.array([[1, 1, 1]])  # non-aromatic carbon class
+    mask = jnp.ones((1, 3), bool)
+    idx, nbr_mask = covalent_knn(pos, v, mask, radii, k=3)
+    nm = np.asarray(nbr_mask)
+    assert nm[0, 0].sum() == 1 and np.asarray(idx)[0, 0, 0] == 1
+    assert nm[0, 1].sum() == 1 and np.asarray(idx)[0, 1, 0] == 0
+    assert nm[0, 2].sum() == 0   # isolated atom has no covalent partner
+
+
+def test_topo_layer_and_cov_cutoff_equivariance(rot):
+    """The extended config (cov_radius cutoff + topology layers) must stay
+    rotation-equivariant and finite."""
+    cfg2 = DenoiserConfig(num_blocks=1, num_layers=1, hidden_dim=32,
+                          n_heads=4, knn=4, shape_dim=8, shape_latent_dim=8,
+                          topo_emb_type="topo_layer", num_topo=2,
+                          cutoff_mode="cov_radius", cov_k=4)
+    model = UniTransformer(cfg2)
+    h, x, mask, shape = _make_inputs(11)
+    v = jnp.asarray(np.random.default_rng(11).integers(0, 15, x.shape[:2]))
+    variables = model.init(jax.random.PRNGKey(0), h, x, mask, shape, v=v)
+    R = jnp.asarray(rot)
+    h1, x1 = model.apply(variables, h, x, mask, shape, v=v)
+    h2, x2 = model.apply(variables, h, x @ R, mask, shape @ R, v=v)
+    assert np.all(np.isfinite(np.asarray(x1)))
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1 @ R), atol=3e-4)
+
+
+def test_topo_requires_v():
+    cfg2 = DenoiserConfig(num_layers=1, hidden_dim=32, n_heads=4,
+                          topo_emb_type="topo_layer", shape_dim=8,
+                          shape_latent_dim=8)
+    model = UniTransformer(cfg2)
+    h, x, mask, shape = _make_inputs(12)
+    with pytest.raises(ValueError):
+        model.init(jax.random.PRNGKey(0), h, x, mask, shape)
+
+
+def test_bfloat16_path_close_to_f32():
+    cfg_bf = DenoiserConfig(num_blocks=1, num_layers=2, hidden_dim=32,
+                            n_heads=4, knn=4, shape_dim=8,
+                            shape_latent_dim=8, dtype="bfloat16")
+    cfg_f32 = DenoiserConfig(num_blocks=1, num_layers=2, hidden_dim=32,
+                             n_heads=4, knn=4, shape_dim=8,
+                             shape_latent_dim=8, dtype="float32")
+    h, x, mask, shape = _make_inputs(13)
+    m32 = UniTransformer(cfg_f32)
+    variables = m32.init(jax.random.PRNGKey(0), h, x, mask, shape)
+    mbf = UniTransformer(cfg_bf)
+    h32, x32 = m32.apply(variables, h, x, mask, shape)
+    hbf, xbf = mbf.apply(variables, h, x, mask, shape)
+    # same params, lower-precision compute: close but not identical
+    np.testing.assert_allclose(np.asarray(xbf), np.asarray(x32), atol=0.15)
+    assert hbf.dtype == jnp.float32 and xbf.dtype == jnp.float32
