@@ -45,7 +45,7 @@ def build():
                                 n_heads=16, knn=8, num_r_gaussian=20,
                                 shape_dim=32, shape_latent_dim=32,
                                 dtype=os.environ.get("BENCH_DTYPE",
-                                                     "bfloat16")))
+                                                     "float32")))
     net = ShapeDiffusionNet(cfg)
     sched = cfg.make_schedule()
 
