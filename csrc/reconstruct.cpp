@@ -1,0 +1,210 @@
+// Native bond-perception core for shapemol_tpu.
+//
+// C++ implementation of the geometric reconstruction phase (the part the
+// reference delegates to OpenBabel's C++ — utils/reconstruct.py:82-200
+// connect_the_dots semantics): covalent-radius bond proposal (factor 1.3),
+// halogen-pair removal, stretch (>1.2) and small-angle (<60 deg) pruning
+// with connectivity preservation, and hypervalency repair ordered by
+// (max_valence, -excess). Exposed through a C ABI for ctypes; the Python
+// fallback in chem/reconstruct.py implements identical logic.
+//
+// Build: g++ -O3 -shared -fPIC -o libreconstruct.so reconstruct.cpp
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct Graph {
+  int n;
+  std::vector<std::vector<int>> adj;
+
+  explicit Graph(int n_) : n(n_), adj(n_) {}
+
+  bool has(int a, int b) const {
+    for (int w : adj[a]) if (w == b) return true;
+    return false;
+  }
+  void add(int a, int b) {
+    if (!has(a, b)) { adj[a].push_back(b); adj[b].push_back(a); }
+  }
+  void remove(int a, int b) {
+    auto& va = adj[a];
+    va.erase(std::remove(va.begin(), va.end(), b), va.end());
+    auto& vb = adj[b];
+    vb.erase(std::remove(vb.begin(), vb.end(), a), vb.end());
+  }
+  int degree(int a) const { return static_cast<int>(adj[a].size()); }
+
+  // reachable(a -> b) without using the direct edge a-b
+  bool reachable(int a, int b) const {
+    if (degree(a) == 1 || degree(b) == 1) return false;
+    std::vector<char> seen(n, 0);
+    std::vector<int> stack;
+    stack.push_back(a);
+    seen[a] = 1;
+    while (!stack.empty()) {
+      int u = stack.back();
+      stack.pop_back();
+      for (int w : adj[u]) {
+        if (u == a && w == b) continue;
+        if (w == b) return true;
+        if (!seen[w]) { seen[w] = 1; stack.push_back(w); }
+      }
+    }
+    return false;
+  }
+};
+
+double dist3(const double* p, int i, int j) {
+  double dx = p[3 * i] - p[3 * j];
+  double dy = p[3 * i + 1] - p[3 * j + 1];
+  double dz = p[3 * i + 2] - p[3 * j + 2];
+  return std::sqrt(dx * dx + dy * dy + dz * dz);
+}
+
+double angle_deg(const double* p, int center, int a, int b) {
+  double va[3] = {p[3 * a] - p[3 * center], p[3 * a + 1] - p[3 * center + 1],
+                  p[3 * a + 2] - p[3 * center + 2]};
+  double vb[3] = {p[3 * b] - p[3 * center], p[3 * b + 1] - p[3 * center + 1],
+                  p[3 * b + 2] - p[3 * center + 2]};
+  double na = std::sqrt(va[0] * va[0] + va[1] * va[1] + va[2] * va[2]);
+  double nb = std::sqrt(vb[0] * vb[0] + vb[1] * vb[1] + vb[2] * vb[2]);
+  if (na < 1e-9 || nb < 1e-9) return 180.0;
+  double c = (va[0] * vb[0] + va[1] * vb[1] + va[2] * vb[2]) / (na * nb);
+  c = std::max(-1.0, std::min(1.0, c));
+  return std::acos(c) * 180.0 / M_PI;
+}
+
+// angle nbr-a-b with vertex a, over neighbors of a excluding b
+bool forms_small_angle(const double* p, const Graph& g, int a, int b,
+                       double cutoff) {
+  for (int nbr : g.adj[a]) {
+    if (nbr == b) continue;
+    if (angle_deg(p, a, b, nbr) < cutoff) return true;
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// pos: (n,3) doubles; rc: (n) covalent radii; maxb: (n) max valences.
+// out_bonds: caller buffer of size >= n*n*2 ints (pairs); returns count.
+int connect_the_dots_native(const double* pos, const double* rc,
+                            const int* maxb_in, int n,
+                            double covalent_factor, int* out_bonds) {
+  if (n <= 0) return 0;
+  Graph g(n);
+  std::vector<int> maxb(maxb_in, maxb_in + n);
+
+  // 1) propose bonds within factor * (rc_i + rc_j)
+  for (int i = 0; i < n; ++i)
+    for (int j = i + 1; j < n; ++j)
+      if (dist3(pos, i, j) < covalent_factor * (rc[i] + rc[j]))
+        g.add(i, j);
+
+  // 2) drop halogen-halogen (max valence 1 on both ends)
+  for (int i = 0; i < n; ++i) {
+    auto nbrs = g.adj[i];  // copy
+    for (int j : nbrs)
+      if (i < j && maxb[i] == 1 && maxb[j] == 1) g.remove(i, j);
+  }
+
+  auto stretch = [&](int i, int j) {
+    return dist3(pos, i, j) / (rc[i] + rc[j]);
+  };
+
+  // 3) remove geometrically poor bonds, most stretched first,
+  //    keeping the molecule connected
+  struct Edge { double s; int i, j; };
+  std::vector<Edge> edges;
+  for (int i = 0; i < n; ++i)
+    for (int j : g.adj[i])
+      if (i < j) edges.push_back({stretch(i, j), i, j});
+  std::sort(edges.begin(), edges.end(),
+            [](const Edge& a, const Edge& b) { return a.s > b.s; });
+  for (const auto& e : edges) {
+    if (!g.has(e.i, e.j)) continue;
+    if (e.s > 1.2 || forms_small_angle(pos, g, e.i, e.j, 60.0) ||
+        forms_small_angle(pos, g, e.j, e.i, 60.0)) {
+      if (!g.reachable(e.i, e.j)) continue;
+      g.remove(e.i, e.j);
+    }
+  }
+
+  // 4) hypervalency repair: most-constrained atoms first
+  std::vector<int> order(n);
+  for (int i = 0; i < n; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    int ea = g.degree(a) - maxb[a], eb = g.degree(b) - maxb[b];
+    if (maxb[a] != maxb[b]) return maxb[a] < maxb[b];
+    return ea > eb;
+  });
+  for (int a : order) {
+    if (g.degree(a) <= maxb[a]) continue;
+    std::vector<Edge> nbr_edges;
+    for (int b : g.adj[a]) nbr_edges.push_back({stretch(a, b), a, b});
+    std::sort(nbr_edges.begin(), nbr_edges.end(),
+              [](const Edge& x, const Edge& y) { return x.s > y.s; });
+    for (const auto& e : nbr_edges) {
+      if (e.s < 0.9) continue;
+      if (g.degree(e.i) > maxb[e.i] || g.degree(e.j) > maxb[e.j]) {
+        if (!g.reachable(e.i, e.j)) continue;
+        g.remove(e.i, e.j);
+        if (g.degree(a) <= maxb[a]) break;
+      }
+    }
+  }
+
+  int count = 0;
+  for (int i = 0; i < n; ++i)
+    for (int j : g.adj[i])
+      if (i < j) {
+        out_bonds[2 * count] = i;
+        out_bonds[2 * count + 1] = j;
+        ++count;
+      }
+  return count;
+}
+
+// Batch stability check: for each pair classify bond order from the
+// empirical tables (passed in flattened form) and sum per-atom orders.
+// tables: order_of(sym_i, sym_j, dist) is approximated host-side; this
+// native path only accelerates pairwise distance + radius thresholding.
+int count_voxels_native(const double* pos, const double* radii, int n,
+                        double grid_resolution, double max_dist) {
+  int cells = static_cast<int>(2.0 * max_dist / grid_resolution) + 1;
+  std::vector<char> occ(static_cast<size_t>(cells) * cells * cells, 0);
+  for (int a = 0; a < n; ++a) {
+    double r = radii[a];
+    int lo[3], hi[3];
+    for (int d = 0; d < 3; ++d) {
+      lo[d] = std::max(0, (int)std::floor((pos[3 * a + d] - r + max_dist) /
+                                          grid_resolution));
+      hi[d] = std::min(cells - 1,
+                       (int)std::ceil((pos[3 * a + d] + r + max_dist) /
+                                      grid_resolution));
+    }
+    for (int i = lo[0]; i <= hi[0]; ++i)
+      for (int j = lo[1]; j <= hi[1]; ++j)
+        for (int k = lo[2]; k <= hi[2]; ++k) {
+          double cx = -max_dist + grid_resolution * i;
+          double cy = -max_dist + grid_resolution * j;
+          double cz = -max_dist + grid_resolution * k;
+          double dx = cx - pos[3 * a], dy = cy - pos[3 * a + 1],
+                 dz = cz - pos[3 * a + 2];
+          if (dx * dx + dy * dy + dz * dz <= r * r)
+            occ[(static_cast<size_t>(i) * cells + j) * cells + k] = 1;
+        }
+  }
+  int total = 0;
+  for (char c : occ) total += c;
+  return total;
+}
+
+}  // extern "C"

@@ -86,15 +86,38 @@ def _forms_small_angle(pos: np.ndarray, adj: List[set], a: int, b: int,
 
 def connect_the_dots(pos: np.ndarray, atomic_nums: np.ndarray,
                      aromatic: Optional[Sequence[bool]] = None,
-                     covalent_factor: float = 1.3) -> List[Tuple[int, int]]:
+                     covalent_factor: float = 1.3,
+                     use_native: bool = True) -> List[Tuple[int, int]]:
     """Geometric bond proposal + pruning; returns the bond list (i<j).
 
-    Mirrors reference connect_the_dots (reconstruct.py:82-200).
-    """
+    Mirrors reference connect_the_dots (reconstruct.py:82-200). Uses the
+    C++ core (csrc/reconstruct.cpp via chem/native.py) when available —
+    same algorithm; this Python body is the reference implementation and
+    fallback. NOTE: the native path applies the plain max-valence table
+    (the sulfone exception is handled below before dispatch)."""
     n = len(atomic_nums)
     if n == 0:
         return []
     pos = np.asarray(pos, dtype=np.float64)
+
+    if use_native:
+        from shapemol_tpu.chem.native import connect_the_dots_native
+        rc_n = np.array([pt.covalent_radius(int(z)) for z in atomic_nums])
+        maxb_n = np.array([_default_valence(int(z)) for z in atomic_nums],
+                          dtype=np.int32)
+        # sulfone exception: S with >=2 proposed O partners gets valence 6
+        d_n = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        for i in range(n):
+            if atomic_nums[i] == 16:
+                o_near = sum(
+                    1 for j in range(n)
+                    if j != i and atomic_nums[j] == 8
+                    and d_n[i, j] < covalent_factor * (rc_n[i] + rc_n[j]))
+                if o_near >= 2:
+                    maxb_n[i] = 6
+        native = connect_the_dots_native(pos, rc_n, maxb_n, covalent_factor)
+        if native is not None:
+            return native
     d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
     rc = np.array([pt.covalent_radius(int(z)) for z in atomic_nums])
 

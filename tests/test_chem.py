@@ -200,3 +200,34 @@ def test_reconstruct_raises_on_garbage():
         assert len(mol.bonds) <= 2
     except MolReconsError:
         pass
+
+
+def test_native_reconstruct_matches_python():
+    """The C++ bond-perception core must reproduce the Python reference on
+    random and structured geometries."""
+    from shapemol_tpu.chem.native import native_available
+    if not native_available():
+        pytest.skip("native library unavailable (no g++?)")
+    from shapemol_tpu.data.synthetic import random_dataset
+    mols = random_dataset(20, seed=9)
+    for mol in mols:
+        b_py = connect_the_dots(mol.pos, mol.atomic_nums, use_native=False)
+        b_cc = connect_the_dots(mol.pos, mol.atomic_nums, use_native=True)
+        assert set(b_py) == set(b_cc), (b_py, b_cc)
+
+
+def test_native_voxel_count_matches_python():
+    from shapemol_tpu.chem.native import (native_available,
+                                          count_voxels_native)
+    if not native_available():
+        pytest.skip("native library unavailable")
+    from shapemol_tpu.geom import voxel as vox
+    from shapemol_tpu.chem import periodic as pt2
+    rng = np.random.default_rng(10)
+    z = np.array([6, 6, 8, 7])
+    pos = rng.standard_normal((4, 3)) * 2
+    pos = pos - pos.mean(axis=0)
+    radii = np.array([pt2.vdw_radius_by_z(int(a)) for a in z])
+    c_native = count_voxels_native(pos, radii)
+    c_py = int(vox.get_voxel_shape(z, pos).sum())
+    assert c_native == c_py
