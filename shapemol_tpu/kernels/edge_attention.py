@@ -168,39 +168,55 @@ def _h2x_kernel(q_ref, k_ref, hv_ref, wv_ref, bv_ref, ew_ref, relx_ref,
     out_ref[0] = msg.astype(out_ref.dtype)
 
 
+def _tile(B: int, N: int, K: int) -> int:
+    """Molecules per kernel program: bigger tiles = larger matmuls and fewer
+    grid steps; bounded so the G/GT indicator matrices stay small
+    ((T*N) x (T*N*K) f32 in VMEM)."""
+    for t in (8, 5, 4, 2, 1):
+        if B % t == 0 and (t * N) * (t * N * K) * 4 <= 4 * 1024 * 1024:
+            return t
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
 def x2h_attention_pallas(q: Array, k: Array, v: Array, e_w: Array,
                          nbr_mask: Array, n_heads: int,
                          interpret: bool = False) -> Array:
     B, N, K, H = k.shape
-    NK = N * K
+    # Tile T molecules per program by folding them into the row axis — the
+    # kernel's group structure (rows n*K..n*K+K-1 belong to node n) is
+    # unchanged, so the kernel body is tile-agnostic.
+    T = _tile(B, N, K)
+    G_, TN, TNK = B // T, T * N, T * N * K
     # flatten the edge axes on the host (free relayouts in XLA) so the
     # kernel never shape-casts
-    k2 = k.reshape(B, NK, H)
-    v2 = v.reshape(B, NK, H)
-    ew2 = e_w.reshape(B, NK, 1)
-    mf = nbr_mask.reshape(B, NK, 1).astype(jnp.float32)
+    q2 = q.reshape(G_, TN, H)
+    k2 = k.reshape(G_, TNK, H)
+    v2 = v.reshape(G_, TNK, H)
+    ew2 = e_w.reshape(G_, TNK, 1)
+    mf = nbr_mask.reshape(G_, TNK, 1).astype(jnp.float32)
     kern = functools.partial(_x2h_kernel, n_heads=n_heads, K=K)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(G_,),
         in_specs=[
-            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TN, H), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, H), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TNK, H), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, H), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TNK, H), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TNK, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TNK, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N, H), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, TN, H), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, H), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((G_, TN, H), v.dtype),
         interpret=interpret,
-    )(q, k2, v2, ew2, mf)
+    )(q2, k2, v2, ew2, mf)
+    return out.reshape(B, N, H)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
@@ -208,40 +224,42 @@ def h2x_attention_pallas(q: Array, k: Array, hv: Array, wv: Array, bv: Array,
                          e_w: Array, rel_x: Array, nbr_mask: Array,
                          n_heads: int, interpret: bool = False) -> Array:
     B, N, K, H = k.shape
-    NK = N * K
-    k2 = k.reshape(B, NK, H)
-    hv2 = hv.reshape(B, NK, H)
-    ew2 = e_w.reshape(B, NK, 1)
-    rx2 = rel_x.reshape(B, NK, 3)
-    mf = nbr_mask.reshape(B, NK, 1).astype(jnp.float32)
+    T = _tile(B, N, K)
+    G_, TN, TNK = B // T, T * N, T * N * K
+    q2 = q.reshape(G_, TN, H)
+    k2 = k.reshape(G_, TNK, H)
+    hv2 = hv.reshape(G_, TNK, H)
+    ew2 = e_w.reshape(G_, TNK, 1)
+    rx2 = rel_x.reshape(G_, TNK, 3)
+    mf = nbr_mask.reshape(G_, TNK, 1).astype(jnp.float32)
     bv2 = bv.reshape(1, -1)
     kern = functools.partial(_h2x_kernel, n_heads=n_heads, K=K)
     out = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(G_,),
         in_specs=[
-            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TN, H), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, H), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TNK, H), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, H), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TNK, H), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, wv.shape[1]), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bv.shape[0]), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TNK, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, 3), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TNK, 3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TNK, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N, n_heads * 3), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, TN, n_heads * 3), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, n_heads * 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G_, TN, n_heads * 3), jnp.float32),
         interpret=interpret,
-    )(q, k2, hv2, wv, bv2, ew2, rx2, mf)
+    )(q2, k2, hv2, wv, bv2, ew2, rx2, mf)
     return out.reshape(B, N, n_heads, 3)
 
 

@@ -1,0 +1,250 @@
+"""Pallas TPU mega-kernels: the COMPLETE edge pipeline of one denoiser
+layer — decomposed edge MLP (dst/src/rbf projections + neighbor gather +
+per-branch LayerNorm + activation + output projections) fused with the
+masked attention core — in one VMEM-resident kernel per molecule tile.
+
+Why: after fusing the attention core (edge_attention.py), the remaining hot
+spots were the 16 per-layer (25600, 256) edge-MLP fusions (~2.2 ms/step of
+HBM round-trips). Here the (NK, 2H) joint activations never leave VMEM.
+
+Mosaic constraints honored (no scatter/gather, no narrow-minor shape casts):
+  * the neighbor gather is an indicator matmul  src_g = P @ src  with
+    P[e, c] = (c == flat_idx[e]) built from an i32 index input;
+  * dst broadcast is GT @ dst; group softmax via G / GT matmuls;
+  * LayerNorm is a lane reduction (mean/var over the 128-wide minor dim).
+
+Weight layout matches the flax EdgeBlock module in models/denoiser.py; the
+XLA compositions below are the CPU fallback and the numerics reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+NEG = -1e30
+
+
+def _indicator(shape, fa, dtype=jnp.float32):
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return fa(rows, cols).astype(dtype)
+
+
+def _ln(x: Array, scale: Array, bias: Array, eps: float = 1e-6) -> Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+# --------------------------------------------------------------------------
+# XLA reference composition (shared by CPU fallback and tests)
+# --------------------------------------------------------------------------
+
+def edge_block_xla(params: Dict[str, Array], r_feat: Array, dst_feats: Array,
+                   h_src: Array, q: Array, idx: Array, e_w: Array,
+                   nbr_mask: Array, rel_x, n_heads: int, mode: str):
+    """mode='x2h' -> scalar messages (B,N,H);
+    mode='h2x' -> vector messages (B,N,heads,3).
+
+    params: w_dst (D,2H), b_dst (2H), w_src (H,2H), w_rbf (R,2H),
+    ln_k/ln_v scale+bias (H), w_out_k (H,H), b_out_k (H),
+    w_out_v (H,H or H,heads), b_out_v."""
+    B, N, K, _ = r_feat.shape
+    H = h_src.shape[-1]
+    dst = dst_feats @ params["w_dst"] + params["b_dst"]        # (B,N,2H)
+    src = h_src @ params["w_src"]                              # (B,N,2H)
+    src_g = jax.vmap(lambda xb, ib: xb[ib])(src, idx)          # (B,N,K,2H)
+    edge = r_feat @ params["w_rbf"]                            # (B,N,K,2H)
+    joint = edge + src_g + dst[:, :, None, :]
+    hk, hv = joint[..., :H], joint[..., H:]
+    hk = jax.nn.relu(_ln(hk, params["ln_k_scale"], params["ln_k_bias"]))
+    hv = jax.nn.relu(_ln(hv, params["ln_v_scale"], params["ln_v_bias"]))
+    k = hk @ params["w_out_k"] + params["b_out_k"]             # (B,N,K,H)
+
+    dh = H // n_heads
+    qh = q.reshape(B, N, 1, n_heads, dh)
+    kh = k.reshape(B, N, K, n_heads, dh)
+    logits = (jnp.sum(qh * kh, axis=-1) / np.sqrt(dh)).astype(jnp.float32)
+    m = nbr_mask[..., None]
+    masked = jnp.where(m, logits, NEG)
+    masked -= jax.lax.stop_gradient(jnp.max(masked, axis=2, keepdims=True))
+    expd = jnp.exp(masked) * m.astype(jnp.float32)
+    alpha = expd / jnp.maximum(jnp.sum(expd, axis=2, keepdims=True), 1e-20)
+
+    if mode == "x2h":
+        v = (hv @ params["w_out_v"] + params["b_out_v"]) * e_w  # (B,N,K,H)
+        vh = v.reshape(B, N, K, n_heads, dh)
+        msg = jnp.sum(alpha[..., None].astype(v.dtype) * vh, axis=2)
+        return msg.reshape(B, N, H)
+    # h2x: per-head scalar gates x rel_x
+    v_s = (hv @ params["w_out_v"] + params["b_out_v"]) * e_w   # (B,N,K,heads)
+    w = alpha.astype(v_s.dtype) * v_s
+    return jnp.einsum("bnkh,bnkc->bnhc", w, rel_x,
+                      preferred_element_type=jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Pallas kernel
+# --------------------------------------------------------------------------
+
+def _edge_block_kernel(rfeat_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
+                       relx_ref, mask_ref,
+                       wdst_ref, bdst_ref, wsrc_ref, wrbf_ref,
+                       lnk_s_ref, lnk_b_ref, lnv_s_ref, lnv_b_ref,
+                       woutk_ref, boutk_ref, woutv_ref, boutv_ref,
+                       out_ref, *, n_heads: int, K: int, mode: str):
+    _, TN, H = src_ref.shape
+    TNK = TN * K
+    dh = H // n_heads
+    f32 = jnp.float32
+
+    G = _indicator((TN, TNK), lambda r, c: c // K == r)
+    GT = _indicator((TNK, TN), lambda r, c: r // K == c)
+
+    # ---- decomposed edge MLP
+    dst = jax.lax.dot(dst_ref[0].astype(f32), wdst_ref[:].astype(f32),
+                      preferred_element_type=f32) + bdst_ref[:].astype(f32)
+    src = jax.lax.dot(src_ref[0].astype(f32), wsrc_ref[:].astype(f32),
+                      preferred_element_type=f32)              # (TN, 2H)
+    # neighbor gather as an indicator matmul: P[e, c] = (c == idx[e])
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TNK, TN), 1)
+    P = (cols == idx_ref[0]).astype(f32)                       # (TNK, TN)
+    src_g = jax.lax.dot(P, src, preferred_element_type=f32)
+    dst_g = jax.lax.dot(GT, dst, preferred_element_type=f32)
+    edge = jax.lax.dot(rfeat_ref[0].astype(f32), wrbf_ref[:].astype(f32),
+                       preferred_element_type=f32)             # (TNK, 2H)
+    joint = edge + src_g + dst_g
+    hk = joint[:, :H]
+    hv = joint[:, H:]
+    hk = jnp.maximum(_ln(hk, lnk_s_ref[:].astype(f32),
+                         lnk_b_ref[:].astype(f32)), 0.0)
+    hv = jnp.maximum(_ln(hv, lnv_s_ref[:].astype(f32),
+                         lnv_b_ref[:].astype(f32)), 0.0)
+    k = jax.lax.dot(hk, woutk_ref[:].astype(f32),
+                    preferred_element_type=f32) + boutk_ref[:].astype(f32)
+
+    # ---- attention core
+    head_sum = _indicator((H, n_heads), lambda r, c: r // dh == c)
+    q_rep = jax.lax.dot(GT, q_ref[0].astype(f32),
+                        preferred_element_type=f32)
+    logits = jax.lax.dot(q_rep * k, head_sum,
+                         preferred_element_type=f32) / np.sqrt(dh)
+    mf = mask_ref[0]
+    masked = logits * mf + (1.0 - mf) * NEG
+    masked -= jnp.max(masked)
+    expd = jnp.exp(masked) * mf
+    denom = jax.lax.dot(GT, jax.lax.dot(G, expd,
+                                        preferred_element_type=f32),
+                        preferred_element_type=f32)
+    alpha = expd / jnp.maximum(denom, 1e-20)                   # (TNK, heads)
+
+    v = jax.lax.dot(hv, woutv_ref[:].astype(f32),
+                    preferred_element_type=f32) + boutv_ref[:].astype(f32)
+    if mode == "x2h":
+        v = v * ew_ref[0]                                      # (TNK, H)
+        alpha_full = jax.lax.dot(alpha, head_sum.T,
+                                 preferred_element_type=f32)
+        msg = jax.lax.dot(G, alpha_full * v, preferred_element_type=f32)
+        out_ref[0] = msg.astype(out_ref.dtype)
+    else:
+        v_s = v * ew_ref[0]                                    # (TNK, heads)
+        w = alpha * v_s
+        E_w = _indicator((n_heads, n_heads * 3), lambda r, c: c // 3 == r)
+        E_r = _indicator((3, n_heads * 3), lambda r, c: c % 3 == r)
+        w_exp = jax.lax.dot(w, E_w, preferred_element_type=f32)
+        r_exp = jax.lax.dot(relx_ref[0].astype(f32), E_r,
+                            preferred_element_type=f32)
+        msg = jax.lax.dot(G, w_exp * r_exp, preferred_element_type=f32)
+        out_ref[0] = msg.astype(out_ref.dtype)
+
+
+def _tile(B: int, N: int, K: int) -> int:
+    for t in (8, 5, 4, 2, 1):
+        if B % t == 0 and (t * N) * (t * N * K) * 4 <= 4 * 1024 * 1024:
+            return t
+    return 1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "mode", "interpret"))
+def edge_block_pallas(params: Dict[str, Array], r_feat: Array,
+                      dst_feats: Array, h_src: Array, q: Array, idx: Array,
+                      e_w: Array, nbr_mask: Array, rel_x, n_heads: int,
+                      mode: str, interpret: bool = False) -> Array:
+    B, N, K, R = r_feat.shape
+    H = h_src.shape[-1]
+    D = dst_feats.shape[-1]
+    out_w = params["w_out_v"].shape[1]
+    T = _tile(B, N, K)
+    G_, TN, TNK = B // T, T * N, T * N * K
+
+    # host-side flattening + tile-local index offsets
+    rf = r_feat.reshape(G_, TNK, R)
+    df = dst_feats.reshape(G_, TN, D)
+    hs = h_src.reshape(G_, TN, H)
+    q2 = q.reshape(G_, TN, H)
+    tile_pos = (jnp.arange(B, dtype=jnp.int32) % T)[:, None, None]
+    idx_flat = (idx + tile_pos * N).reshape(G_, TNK, 1)
+    ew2 = e_w.reshape(G_, TNK, 1).astype(jnp.float32)
+    mf = nbr_mask.reshape(G_, TNK, 1).astype(jnp.float32)
+    rx2 = (rel_x.reshape(G_, TNK, 3).astype(jnp.float32)
+           if rel_x is not None else jnp.zeros((G_, TNK, 3), jnp.float32))
+
+    out_cols = H if mode == "x2h" else n_heads * 3
+    b2 = lambda p: p.reshape(1, -1)
+
+    vm = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                          memory_space=pltpu.VMEM)
+    bcast = lambda b: (0, 0)
+    kern = functools.partial(_edge_block_kernel, n_heads=n_heads, K=K,
+                             mode=mode)
+    out = pl.pallas_call(
+        kern,
+        grid=(G_,),
+        in_specs=[
+            vm((1, TNK, R), lambda b: (b, 0, 0)),
+            vm((1, TN, D), lambda b: (b, 0, 0)),
+            vm((1, TN, H), lambda b: (b, 0, 0)),
+            vm((1, TN, H), lambda b: (b, 0, 0)),
+            vm((1, TNK, 1), lambda b: (b, 0, 0)),
+            vm((1, TNK, 1), lambda b: (b, 0, 0)),
+            vm((1, TNK, 3), lambda b: (b, 0, 0)),
+            vm((1, TNK, 1), lambda b: (b, 0, 0)),
+            vm((D, 2 * H), bcast),
+            vm((1, 2 * H), bcast),
+            vm((H, 2 * H), bcast),
+            vm((R, 2 * H), bcast),
+            vm((1, H), bcast), vm((1, H), bcast),
+            vm((1, H), bcast), vm((1, H), bcast),
+            vm((H, H), bcast), vm((1, H), bcast),
+            vm((H, out_w), bcast), vm((1, out_w), bcast),
+        ],
+        out_specs=vm((1, TN, out_cols), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G_, TN, out_cols), jnp.float32),
+        interpret=interpret,
+    )(rf, df, hs, q2, idx_flat, ew2, rx2, mf,
+      params["w_dst"], b2(params["b_dst"]), params["w_src"],
+      params["w_rbf"], b2(params["ln_k_scale"]), b2(params["ln_k_bias"]),
+      b2(params["ln_v_scale"]), b2(params["ln_v_bias"]),
+      params["w_out_k"], b2(params["b_out_k"]),
+      params["w_out_v"], b2(params["b_out_v"]))
+    if mode == "x2h":
+        return out.reshape(B, N, H)
+    return out.reshape(B, N, n_heads, 3)
+
+
+def edge_block(params, r_feat, dst_feats, h_src, q, idx, e_w, nbr_mask,
+               rel_x, n_heads: int, mode: str,
+               use_pallas: bool = True) -> Array:
+    if use_pallas and jax.default_backend() == "tpu":
+        return edge_block_pallas(params, r_feat, dst_feats, h_src, q, idx,
+                                 e_w, nbr_mask, rel_x, n_heads, mode)
+    return edge_block_xla(params, r_feat, dst_feats, h_src, q, idx, e_w,
+                          nbr_mask, rel_x, n_heads, mode)

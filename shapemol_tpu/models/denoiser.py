@@ -135,69 +135,32 @@ def _cdtype(cfg: DenoiserConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
-class DecomposedEdgeKV(nn.Module):
-    """The k/v edge MLPs with the first Dense DECOMPOSED over the concat
-    structure of the edge features.
-
-    The reference builds kv_in = cat([r_feat, h_dst, h_src, (topo_dst),
-    shape_dst]) per edge and multiplies by one (feat, 2H) kernel
-    (uni_transformer.py:53-69). Since a linear map over a concatenation is
-    the sum of linear maps over the parts, and h_dst/topo/shape are
-    *broadcasts over K* while h_src is a *gather*, the big (B,N,K,308)
-    matmul factors into:
-        node-level  cat([h, topo, shape]) @ W_dst  (B,N,2H)  + bias
-        node-level  h @ W_src -> gathered to (B,N,K,2H)
-        edge-level  r_feat @ W_rbf          (B,N,K,2H)
-    summed — numerically identical to the concat formulation (the concat
-    kernel is the row-stack of the three blocks) at ~6x fewer MACs and
-    without materializing the 300-wide edge tensor. Hot-path optimization
-    identified by device profiling (the two per-layer edge-MLP fusions were
-    50% of the sampler step).
-    LayerNorm + activation + the second Dense stay per-edge."""
-    out_k: int
-    out_v: int
-    hidden: int
-    norm: bool = True
-    act_fn: str = "relu"
-    dtype: jnp.dtype | None = None
-    v_params_out: bool = False    # return (k, hv, (Wv, bv)) so the narrow
-                                  # out_v projection can run inside the
-                                  # fused attention kernel
-
-    @nn.compact
-    def __call__(self, r_feat: Array, h_dst_feats: Array, h_src: Array,
-                 idx: Array):
-        """r_feat (B,N,K,R); h_dst_feats (B,N,D) node features of the
-        destination (h ++ optional topo ++ invariant shape); h_src (B,N,H)
-        source features to gather; idx (B,N,K) neighbor indices."""
-        act = {"relu": jax.nn.relu, "silu": jax.nn.silu}[self.act_fn]
-        H2 = 2 * self.hidden
-        dst = nn.Dense(H2, use_bias=True, dtype=self.dtype,
-                       name="dense_dst")(h_dst_feats)          # (B,N,2H)
-        src = nn.Dense(H2, use_bias=False, dtype=self.dtype,
-                       name="dense_src")(h_src)                # (B,N,2H)
-        src_g = gather_neighbors(src, idx)                     # (B,N,K,2H)
-        edge = nn.Dense(H2, use_bias=False, dtype=self.dtype,
-                        name="dense_rbf")(r_feat)              # (B,N,K,2H)
-        joint = edge + src_g + dst[:, :, None, :]
-        hk, hv = joint[..., :self.hidden], joint[..., self.hidden:]
-        if self.norm:
-            hk = nn.LayerNorm(dtype=self.dtype, name="ln_k")(hk)
-            hv = nn.LayerNorm(dtype=self.dtype, name="ln_v")(hv)
-        hk, hv = act(hk), act(hv)
-        k = nn.Dense(self.out_k, dtype=self.dtype, name="out_k")(hk)
-        if self.v_params_out:
-            wv = self.param("out_v_kernel", nn.initializers.lecun_normal(),
-                            (self.hidden, self.out_v))
-            bv = self.param("out_v_bias", nn.initializers.zeros,
-                            (self.out_v,))
-            return k, hv, (wv, bv)
-        v = nn.Dense(self.out_v, dtype=self.dtype, name="out_v")(hv)
-        return k, v
+def _make_edge_params(mod: nn.Module, d_in: int, hidden: int, r_dim: int,
+                      out_v: int):
+    """Declare the fused edge-block parameter set (layout consumed by
+    kernels/edge_block.py; initializers match nn.Dense/LayerNorm defaults)."""
+    lecun = nn.initializers.lecun_normal()
+    zeros = nn.initializers.zeros
+    ones = nn.initializers.ones
+    return {
+        "w_dst": mod.param("w_dst", lecun, (d_in, 2 * hidden)),
+        "b_dst": mod.param("b_dst", zeros, (2 * hidden,)),
+        "w_src": mod.param("w_src", lecun, (hidden, 2 * hidden)),
+        "w_rbf": mod.param("w_rbf", lecun, (r_dim, 2 * hidden)),
+        "ln_k_scale": mod.param("ln_k_scale", ones, (hidden,)),
+        "ln_k_bias": mod.param("ln_k_bias", zeros, (hidden,)),
+        "ln_v_scale": mod.param("ln_v_scale", ones, (hidden,)),
+        "ln_v_bias": mod.param("ln_v_bias", zeros, (hidden,)),
+        "w_out_k": mod.param("w_out_k", lecun, (hidden, hidden)),
+        "b_out_k": mod.param("b_out_k", zeros, (hidden,)),
+        "w_out_v": mod.param("w_out_v", lecun, (hidden, out_v)),
+        "b_out_v": mod.param("b_out_v", zeros, (out_v,)),
+    }
 
 
 class X2HAttLayer(nn.Module):
-    """Scalar-feature update via masked multi-head edge attention."""
+    """Scalar-feature update via masked multi-head edge attention, executed
+    as ONE fused Pallas edge-block kernel on TPU (kernels/edge_block.py)."""
     cfg: DenoiserConfig
 
     @nn.compact
@@ -207,23 +170,20 @@ class X2HAttLayer(nn.Module):
         invar_shape (B,N,S'); e_w (B,N,K,1); nbr_mask (B,N,K);
         topo (B,N,H) optional per-node topology features."""
         cfg = self.cfg
-        B, N, K, _ = r_feat.shape
         heads, hd = cfg.n_heads, cfg.hidden_dim
-        d_head = hd // heads
         dt = _cdtype(cfg)
 
         dst_parts = [h] + ([topo] if topo is not None else []) + [invar_shape]
-        dst_feats = jnp.concatenate(dst_parts, axis=-1).astype(dt)
-        k, v = DecomposedEdgeKV(hd, hd, hd, norm=cfg.norm, act_fn=cfg.act_fn,
-                                dtype=dt, name="hkv_func")(
-            r_feat.astype(dt), dst_feats, h.astype(dt), idx)
+        dst_feats = jnp.concatenate(dst_parts, axis=-1)
+        params = _make_edge_params(self, dst_feats.shape[-1], hd,
+                                   r_feat.shape[-1], hd)
         q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
-                name="hq_func")(h.astype(dt))
+                name="hq_func")(h.astype(dt)).astype(jnp.float32)
 
-        # fused VMEM attention core (Pallas on TPU, same-math XLA elsewhere)
-        from shapemol_tpu.kernels.edge_attention import x2h_attention
-        msg = x2h_attention(q, k, v, e_w.astype(dt), nbr_mask, heads,
-                            use_pallas=cfg.use_pallas_attention)
+        from shapemol_tpu.kernels.edge_block import edge_block
+        msg = edge_block(params, r_feat, dst_feats, h, q, idx, e_w,
+                         nbr_mask, None, heads, "x2h",
+                         use_pallas=cfg.use_pallas_attention)
 
         out = jnp.concatenate([msg.astype(dt), h.astype(dt)], axis=-1)
         out = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
@@ -242,25 +202,21 @@ class H2XAttLayer(nn.Module):
         cfg = self.cfg
         B, N, K, _ = r_feat.shape
         heads, hd = cfg.n_heads, cfg.hidden_dim
-        d_head = hd // heads
-
         dt = _cdtype(cfg)
-        dst_parts = [h] + ([topo] if topo is not None else []) + [invar_shape]
-        dst_feats = jnp.concatenate(dst_parts, axis=-1).astype(dt)
-        k, hv, (wv, bv) = DecomposedEdgeKV(hd, heads, hd, norm=cfg.norm,
-                                           act_fn=cfg.act_fn, dtype=dt,
-                                           v_params_out=True,
-                                           name="xkv_func")(
-            r_feat.astype(dt), dst_feats, h.astype(dt), idx)
-        q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
-                name="xq_func")(h.astype(dt))
 
-        # fused VMEM attention: softmax, the narrow out_v projection, the
-        # e_w gate and the rel_x contraction all stay on-chip
-        from shapemol_tpu.kernels.edge_attention import h2x_attention
-        msg = h2x_attention(q, k, hv, wv.astype(dt), bv.astype(jnp.float32),
-                            e_w.astype(dt), rel_x, nbr_mask, heads,
-                            use_pallas=cfg.use_pallas_attention)
+        dst_parts = [h] + ([topo] if topo is not None else []) + [invar_shape]
+        dst_feats = jnp.concatenate(dst_parts, axis=-1)
+        params = _make_edge_params(self, dst_feats.shape[-1], hd,
+                                   r_feat.shape[-1], heads)
+        q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
+                name="xq_func")(h.astype(dt)).astype(jnp.float32)
+
+        # one fused kernel: edge MLP, softmax, the narrow per-head gates and
+        # the rel_x contraction all stay on-chip
+        from shapemol_tpu.kernels.edge_block import edge_block
+        msg = edge_block(params, r_feat, dst_feats, h, q, idx, e_w,
+                         nbr_mask, rel_x, heads, "h2x",
+                         use_pallas=cfg.use_pallas_attention)
         # (B,N,heads,3) float32
 
         # attention_residue: VN mix of (x, messages, shape latent)
@@ -284,19 +240,16 @@ class TopoLayer(nn.Module):
     @nn.compact
     def __call__(self, h, r_feat, idx, e_w, nbr_mask):
         cfg = self.cfg
-        B, N, K, _ = r_feat.shape
         heads, hd = cfg.n_heads, cfg.hidden_dim
-        d_head = hd // heads
         dt = _cdtype(cfg)
 
-        k, v = DecomposedEdgeKV(hd, hd, hd, norm=cfg.norm, act_fn=cfg.act_fn,
-                                dtype=dt, name="xkv_func")(
-            r_feat.astype(dt), h.astype(dt), h.astype(dt), idx)
+        params = _make_edge_params(self, hd, hd, r_feat.shape[-1], hd)
         q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
-                name="xq_func")(h.astype(dt))
-        from shapemol_tpu.kernels.edge_attention import x2h_attention
-        msg = x2h_attention(q, k, v, e_w.astype(dt), nbr_mask, heads,
-                            use_pallas=cfg.use_pallas_attention)
+                name="xq_func")(h.astype(dt)).astype(jnp.float32)
+        from shapemol_tpu.kernels.edge_block import edge_block
+        msg = edge_block(params, r_feat, h, h, q, idx, e_w, nbr_mask,
+                         None, heads, "x2h",
+                         use_pallas=cfg.use_pallas_attention)
         out = jnp.concatenate([msg.astype(dt), h.astype(dt)], axis=-1)
         out = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
                   name="topo_output")(out)
