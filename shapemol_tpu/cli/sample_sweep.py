@@ -1,0 +1,157 @@
+"""Pod-scale generation sweep: sample MANY targets in one run by packing
+different conditioning shapes into each device batch (the sampler is fully
+batched over per-row shape latents, so one jit serves the whole sweep).
+
+The reference shards one-target-per-job over --data_id with batch=100 clones
+(scripts/sample_diffusion.py:168-175); this sweep instead fills every batch
+row with (target, sample) pairs — no wasted rows when num_samples < batch —
+and optionally shards targets across hosts (--shard_index/--num_shards).
+
+Usage:
+  python -m shapemol_tpu.cli.sample_sweep configs/sampling/default.yml \
+      --ckpt <dir> --start 0 --end 1000 [--batch_size 100] [--profile]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shapemol_tpu.chem import vocab
+from shapemol_tpu.core import misc
+from shapemol_tpu.core.config import load_config
+from shapemol_tpu.data.packs import PackDataset
+from shapemol_tpu.sample import sampler as smp
+from shapemol_tpu.sample.atom_prior import AtomNumPrior
+from shapemol_tpu.cli.sample import load_diffusion_model
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--end", type=int, default=10)
+    p.add_argument("--test_pack", default=None)
+    p.add_argument("--result_path", default="./results")
+    p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--max_atoms", type=int, default=48)
+    p.add_argument("--atomnum_prior", default=None)
+    p.add_argument("--shard_index", type=int, default=0)
+    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the first batch")
+    args = p.parse_args()
+
+    cfg = load_config(args.config)
+    misc.seed_all(cfg.sample.seed)
+    logger = misc.get_logger("sample_sweep")
+    os.makedirs(args.result_path, exist_ok=True)
+
+    atom_mode = cfg.data.get_path("transform.ligand_atom_mode", "add_aromatic")
+    num_classes = vocab.feature_dim(atom_mode)
+    net, model_cfg, variables, _tc = load_diffusion_model(args.ckpt,
+                                                          num_classes)
+    sched = model_cfg.make_schedule()
+
+    pack_pattern = args.test_pack or os.path.join(
+        cfg.data.get("processed_path", "./processed_data"),
+        f"shapemol_{cfg.data.get('version', 'v1')}.*.npz")
+    test_set = PackDataset(pack_pattern)
+
+    target_ids = list(range(args.start, min(args.end, len(test_set))))
+    target_ids = target_ids[args.shard_index::args.num_shards]
+    target_ids = [t for t in target_ids if not os.path.exists(
+        os.path.join(args.result_path, f"result_{t}.npz"))]
+    if not target_ids:
+        logger.info("nothing to do (all result files exist)")
+        return
+
+    num_samples = cfg.sample.num_samples
+    B, N = args.batch_size, args.max_atoms
+    S = test_set[target_ids[0]]["shape_emb"].shape[0]
+    prior = (AtomNumPrior.load(args.atomnum_prior)
+             if args.atomnum_prior and os.path.exists(args.atomnum_prior)
+             else None)
+    scfg = smp.SamplerConfig(
+        num_steps=cfg.sample.get("num_steps",
+                                 model_cfg.num_diffusion_timesteps),
+        center_pos_mode=cfg.sample.get("center_pos_mode", "none"))
+
+    # flat work list of (target, sample) pairs packed into batches
+    work = [(t, s) for t in target_ids for s in range(num_samples)]
+    rng_np = np.random.default_rng(cfg.sample.seed)
+    logger.info(f"{len(target_ids)} targets x {num_samples} samples = "
+                f"{len(work)} molecules in batches of {B}")
+
+    @jax.jit
+    def run(rng, shapes, counts):
+        pos0, v0, mask = smp.make_init_state(rng, B, N, counts,
+                                             model_cfg.num_net_classes)
+        out = smp.sample_diffusion(net, sched, variables, rng, pos0, v0,
+                                   mask, shapes, scfg)
+        return out["pos"], out["v"], mask
+
+    results = {t: [] for t in target_ids}
+    rng = jax.random.PRNGKey(cfg.sample.seed)
+    t_start = time.perf_counter()
+    n_done = 0
+    for b0 in range(0, len(work), B):
+        chunk = work[b0:b0 + B]
+        pad = B - len(chunk)
+        chunk = chunk + [chunk[-1]] * pad
+        data = [test_set[t] for t, _ in chunk]
+        shapes = jnp.asarray(np.stack([d["shape_emb"] for d in data]))
+        ref_counts = np.array([int(d["node_mask"].sum()) for d in data])
+        if prior is not None:
+            from shapemol_tpu.geom.voxel import voxel_count
+            counts = np.array([prior.sample(
+                voxel_count(np.asarray(vocab.get_atomic_numbers(
+                    d["v"][d["node_mask"]], atom_mode)),
+                    d["pos"][d["node_mask"]]), 1, rng_np)[0]
+                for d in data])
+        else:
+            counts = ref_counts
+        counts = np.clip(counts, 3, N)
+
+        rng, sub = jax.random.split(rng)
+        if args.profile and b0 == 0:
+            with jax.profiler.trace(os.path.join(args.result_path,
+                                                 "profile")):
+                pos, v, mask = run(sub, shapes, jnp.asarray(counts))
+                pos.block_until_ready()
+            logger.info("profile trace saved")
+        else:
+            pos, v, mask = run(sub, shapes, jnp.asarray(counts))
+            pos.block_until_ready()
+        pos, v, mask = np.asarray(pos), np.asarray(v), np.asarray(mask)
+        for row, (t, s) in enumerate(chunk[:B - pad]):
+            results[t].append((pos[row], v[row], mask[row]))
+        n_done += B - pad
+        rate = n_done / (time.perf_counter() - t_start)
+        logger.info(f"{n_done}/{len(work)} molecules ({rate:.2f} mol/s)")
+
+        # flush completed targets
+        for t in list(results):
+            if len(results[t]) >= num_samples:
+                datum = test_set[t]
+                np.savez_compressed(
+                    os.path.join(args.result_path, f"result_{t}.npz"),
+                    pos=np.stack([r[0] for r in results[t]]),
+                    v=np.stack([r[1] for r in results[t]]),
+                    node_mask=np.stack([r[2] for r in results[t]]),
+                    ref_pos=datum["pos"], ref_v=datum["v"],
+                    ref_node_mask=datum["node_mask"],
+                    time_list=np.asarray([]), data_id=t,
+                    atom_mode=atom_mode)
+                del results[t]
+    logger.info(f"sweep done: {n_done} molecules at "
+                f"{n_done / (time.perf_counter() - t_start):.2f} mol/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,20 +1,27 @@
 """Pallas TPU mega-kernels: the COMPLETE edge pipeline of one denoiser
-layer — decomposed edge MLP (dst/src/rbf projections + neighbor gather +
-per-branch LayerNorm + activation + output projections) fused with the
-masked attention core — in one VMEM-resident kernel per molecule tile.
+layer — neighbor geometry (rel_x, distances, Gaussian RBF expansion),
+decomposed edge MLP (dst/src/rbf projections + neighbor gather + per-branch
+LayerNorm + activation + output projections) and the masked attention core —
+in one VMEM-resident kernel per molecule tile.
 
-Why: after fusing the attention core (edge_attention.py), the remaining hot
-spots were the 16 per-layer (25600, 256) edge-MLP fusions (~2.2 ms/step of
-HBM round-trips). Here the (NK, 2H) joint activations never leave VMEM.
+Why: device profiling showed, in order, (1) the XLA masked-softmax chain
+((B,N,8,16) tensors waste 7/8 of every lane), (2) the (25600, 256) edge-MLP
+HBM round-trips, then (3) the per-layer (25600, 3)/(25600, 20) rel_x/RBF
+tensors. All three now live only in VMEM; per layer the kernel reads just
+x (N,3), h/dst node features, q, indices, e_w and the weights.
 
-Mosaic constraints honored (no scatter/gather, no narrow-minor shape casts):
-  * the neighbor gather is an indicator matmul  src_g = P @ src  with
-    P[e, c] = (c == flat_idx[e]) built from an i32 index input;
-  * dst broadcast is GT @ dst; group softmax via G / GT matmuls;
-  * LayerNorm is a lane reduction (mean/var over the 128-wide minor dim).
+Mosaic constraints honored (no scatter/gather, no narrow-minor shape casts,
+no bool dim insertion): every segment operation is a 2D MXU matmul against a
+0/1 indicator matrix —
+  * neighbor gather:      P @ src,  P[e, c] = (c == flat_idx[e])
+  * dst broadcast:        G^T @ dst
+  * per-head reductions:  (q ⊙ k) @ HEAD_SUM, alpha @ HEAD_SUM^T
+  * group softmax:        denominators via G / G^T matmuls (global max)
+  * rel_x contraction:    (w @ E_w) ⊙ (rel_x @ E_r), group-summed
 
-Weight layout matches the flax EdgeBlock module in models/denoiser.py; the
-XLA compositions below are the CPU fallback and the numerics reference.
+Weight layout matches `_make_edge_params` in models/denoiser.py; the XLA
+composition below is the CPU fallback and the numerics reference
+(interpreter-mode parity tests in tests/test_kernels.py).
 """
 from __future__ import annotations
 
@@ -26,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from shapemol_tpu.nn.basic import FIXED_RBF_OFFSETS
 
 Array = jax.Array
 NEG = -1e30
@@ -43,21 +52,37 @@ def _ln(x: Array, scale: Array, bias: Array, eps: float = 1e-6) -> Array:
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _rbf_centers_coeff(num: int, r_max: float):
+    """The fixed 20-center table (reference quirk Q2) or a linspace."""
+    if num == len(FIXED_RBF_OFFSETS):
+        centers = np.asarray(FIXED_RBF_OFFSETS, np.float32)
+        coeff = -0.5 / float(FIXED_RBF_OFFSETS[1] - FIXED_RBF_OFFSETS[0]) ** 2
+    else:
+        centers = np.linspace(0.0, r_max, num).astype(np.float32)
+        gap = r_max / max(num - 1, 1)
+        coeff = -0.5 / gap ** 2
+    return centers.reshape(1, -1), float(coeff)
+
+
 # --------------------------------------------------------------------------
-# XLA reference composition (shared by CPU fallback and tests)
+# XLA reference composition (CPU fallback + numerics reference)
 # --------------------------------------------------------------------------
 
-def edge_block_xla(params: Dict[str, Array], r_feat: Array, dst_feats: Array,
+def edge_block_xla(params: Dict[str, Array], x: Array, dst_feats: Array,
                    h_src: Array, q: Array, idx: Array, e_w: Array,
-                   nbr_mask: Array, rel_x, n_heads: int, mode: str):
+                   nbr_mask: Array, n_heads: int, mode: str,
+                   num_rbf: int = 20, r_max: float = 10.0):
     """mode='x2h' -> scalar messages (B,N,H);
-    mode='h2x' -> vector messages (B,N,heads,3).
-
-    params: w_dst (D,2H), b_dst (2H), w_src (H,2H), w_rbf (R,2H),
-    ln_k/ln_v scale+bias (H), w_out_k (H,H), b_out_k (H),
-    w_out_v (H,H or H,heads), b_out_v."""
-    B, N, K, _ = r_feat.shape
+    mode='h2x' -> vector messages (B,N,heads,3)."""
+    B, N, K = idx.shape
     H = h_src.shape[-1]
+    centers, coeff = _rbf_centers_coeff(num_rbf, r_max)
+
+    nbr_x = jax.vmap(lambda xb, ib: xb[ib])(x, idx)            # (B,N,K,3)
+    rel_x = x[:, :, None, :] - nbr_x
+    dist = jnp.linalg.norm(rel_x + 1e-12, axis=-1)             # (B,N,K)
+    r_feat = jnp.exp(coeff * (dist[..., None] - centers[0]) ** 2)
+
     dst = dst_feats @ params["w_dst"] + params["b_dst"]        # (B,N,2H)
     src = h_src @ params["w_src"]                              # (B,N,2H)
     src_g = jax.vmap(lambda xb, ib: xb[ib])(src, idx)          # (B,N,K,2H)
@@ -83,7 +108,6 @@ def edge_block_xla(params: Dict[str, Array], r_feat: Array, dst_feats: Array,
         vh = v.reshape(B, N, K, n_heads, dh)
         msg = jnp.sum(alpha[..., None].astype(v.dtype) * vh, axis=2)
         return msg.reshape(B, N, H)
-    # h2x: per-head scalar gates x rel_x
     v_s = (hv @ params["w_out_v"] + params["b_out_v"]) * e_w   # (B,N,K,heads)
     w = alpha.astype(v_s.dtype) * v_s
     return jnp.einsum("bnkh,bnkc->bnhc", w, rel_x,
@@ -94,12 +118,13 @@ def edge_block_xla(params: Dict[str, Array], r_feat: Array, dst_feats: Array,
 # Pallas kernel
 # --------------------------------------------------------------------------
 
-def _edge_block_kernel(rfeat_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
-                       relx_ref, mask_ref,
+def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
+                       mask_ref, centers_ref,
                        wdst_ref, bdst_ref, wsrc_ref, wrbf_ref,
                        lnk_s_ref, lnk_b_ref, lnv_s_ref, lnv_b_ref,
                        woutk_ref, boutk_ref, woutv_ref, boutv_ref,
-                       out_ref, *, n_heads: int, K: int, mode: str):
+                       out_ref, *, n_heads: int, K: int, mode: str,
+                       num_rbf: int, r_max: float):
     _, TN, H = src_ref.shape
     TNK = TN * K
     dh = H // n_heads
@@ -107,25 +132,32 @@ def _edge_block_kernel(rfeat_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
 
     G = _indicator((TN, TNK), lambda r, c: c // K == r)
     GT = _indicator((TNK, TN), lambda r, c: r // K == c)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TNK, TN), 1)
+    P = (cols == idx_ref[0]).astype(f32)                       # gather matrix
+
+    # ---- neighbor geometry + RBF expansion (all VMEM-resident)
+    x = x_ref[0].astype(f32)                                   # (TN, 3)
+    nbr_x = jax.lax.dot(P, x, preferred_element_type=f32)      # (TNK, 3)
+    dst_x = jax.lax.dot(GT, x, preferred_element_type=f32)
+    rel_x = dst_x - nbr_x                                      # (TNK, 3)
+    dist = jnp.sqrt(jnp.sum((rel_x + 1e-12) ** 2, axis=-1,
+                            keepdims=True))                    # (TNK, 1)
+    _, coeff = _rbf_centers_coeff(num_rbf, r_max)
+    r_feat = jnp.exp(coeff * (dist - centers_ref[:]) ** 2)     # (TNK, R)
 
     # ---- decomposed edge MLP
     dst = jax.lax.dot(dst_ref[0].astype(f32), wdst_ref[:].astype(f32),
                       preferred_element_type=f32) + bdst_ref[:].astype(f32)
     src = jax.lax.dot(src_ref[0].astype(f32), wsrc_ref[:].astype(f32),
                       preferred_element_type=f32)              # (TN, 2H)
-    # neighbor gather as an indicator matmul: P[e, c] = (c == idx[e])
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TNK, TN), 1)
-    P = (cols == idx_ref[0]).astype(f32)                       # (TNK, TN)
     src_g = jax.lax.dot(P, src, preferred_element_type=f32)
     dst_g = jax.lax.dot(GT, dst, preferred_element_type=f32)
-    edge = jax.lax.dot(rfeat_ref[0].astype(f32), wrbf_ref[:].astype(f32),
+    edge = jax.lax.dot(r_feat, wrbf_ref[:].astype(f32),
                        preferred_element_type=f32)             # (TNK, 2H)
     joint = edge + src_g + dst_g
-    hk = joint[:, :H]
-    hv = joint[:, H:]
-    hk = jnp.maximum(_ln(hk, lnk_s_ref[:].astype(f32),
+    hk = jnp.maximum(_ln(joint[:, :H], lnk_s_ref[:].astype(f32),
                          lnk_b_ref[:].astype(f32)), 0.0)
-    hv = jnp.maximum(_ln(hv, lnv_s_ref[:].astype(f32),
+    hv = jnp.maximum(_ln(joint[:, H:], lnv_s_ref[:].astype(f32),
                          lnv_b_ref[:].astype(f32)), 0.0)
     k = jax.lax.dot(hk, woutk_ref[:].astype(f32),
                     preferred_element_type=f32) + boutk_ref[:].astype(f32)
@@ -159,8 +191,7 @@ def _edge_block_kernel(rfeat_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
         E_w = _indicator((n_heads, n_heads * 3), lambda r, c: c // 3 == r)
         E_r = _indicator((3, n_heads * 3), lambda r, c: c % 3 == r)
         w_exp = jax.lax.dot(w, E_w, preferred_element_type=f32)
-        r_exp = jax.lax.dot(relx_ref[0].astype(f32), E_r,
-                            preferred_element_type=f32)
+        r_exp = jax.lax.dot(rel_x, E_r, preferred_element_type=f32)
         msg = jax.lax.dot(G, w_exp * r_exp, preferred_element_type=f32)
         out_ref[0] = msg.astype(out_ref.dtype)
 
@@ -173,20 +204,21 @@ def _tile(B: int, N: int, K: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_heads", "mode", "interpret"))
-def edge_block_pallas(params: Dict[str, Array], r_feat: Array,
+                   static_argnames=("n_heads", "mode", "num_rbf", "r_max",
+                                    "interpret"))
+def edge_block_pallas(params: Dict[str, Array], x: Array,
                       dst_feats: Array, h_src: Array, q: Array, idx: Array,
-                      e_w: Array, nbr_mask: Array, rel_x, n_heads: int,
-                      mode: str, interpret: bool = False) -> Array:
-    B, N, K, R = r_feat.shape
+                      e_w: Array, nbr_mask: Array, n_heads: int,
+                      mode: str, num_rbf: int = 20, r_max: float = 10.0,
+                      interpret: bool = False) -> Array:
+    B, N, K = idx.shape
     H = h_src.shape[-1]
     D = dst_feats.shape[-1]
     out_w = params["w_out_v"].shape[1]
     T = _tile(B, N, K)
     G_, TN, TNK = B // T, T * N, T * N * K
 
-    # host-side flattening + tile-local index offsets
-    rf = r_feat.reshape(G_, TNK, R)
+    x2 = x.reshape(G_, TN, 3)
     df = dst_feats.reshape(G_, TN, D)
     hs = h_src.reshape(G_, TN, H)
     q2 = q.reshape(G_, TN, H)
@@ -194,33 +226,32 @@ def edge_block_pallas(params: Dict[str, Array], r_feat: Array,
     idx_flat = (idx + tile_pos * N).reshape(G_, TNK, 1)
     ew2 = e_w.reshape(G_, TNK, 1).astype(jnp.float32)
     mf = nbr_mask.reshape(G_, TNK, 1).astype(jnp.float32)
-    rx2 = (rel_x.reshape(G_, TNK, 3).astype(jnp.float32)
-           if rel_x is not None else jnp.zeros((G_, TNK, 3), jnp.float32))
+    centers_np, _ = _rbf_centers_coeff(num_rbf, r_max)
+    centers = jnp.asarray(centers_np)                          # (1, R)
 
     out_cols = H if mode == "x2h" else n_heads * 3
     b2 = lambda p: p.reshape(1, -1)
-
     vm = lambda shape, imap: pl.BlockSpec(shape, imap,
                                           memory_space=pltpu.VMEM)
     bcast = lambda b: (0, 0)
     kern = functools.partial(_edge_block_kernel, n_heads=n_heads, K=K,
-                             mode=mode)
+                             mode=mode, num_rbf=num_rbf, r_max=r_max)
     out = pl.pallas_call(
         kern,
         grid=(G_,),
         in_specs=[
-            vm((1, TNK, R), lambda b: (b, 0, 0)),
+            vm((1, TN, 3), lambda b: (b, 0, 0)),
             vm((1, TN, D), lambda b: (b, 0, 0)),
             vm((1, TN, H), lambda b: (b, 0, 0)),
             vm((1, TN, H), lambda b: (b, 0, 0)),
             vm((1, TNK, 1), lambda b: (b, 0, 0)),
             vm((1, TNK, 1), lambda b: (b, 0, 0)),
-            vm((1, TNK, 3), lambda b: (b, 0, 0)),
             vm((1, TNK, 1), lambda b: (b, 0, 0)),
+            vm((1, num_rbf), bcast),
             vm((D, 2 * H), bcast),
             vm((1, 2 * H), bcast),
             vm((H, 2 * H), bcast),
-            vm((R, 2 * H), bcast),
+            vm((num_rbf, 2 * H), bcast),
             vm((1, H), bcast), vm((1, H), bcast),
             vm((1, H), bcast), vm((1, H), bcast),
             vm((H, H), bcast), vm((1, H), bcast),
@@ -229,7 +260,7 @@ def edge_block_pallas(params: Dict[str, Array], r_feat: Array,
         out_specs=vm((1, TN, out_cols), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((G_, TN, out_cols), jnp.float32),
         interpret=interpret,
-    )(rf, df, hs, q2, idx_flat, ew2, rx2, mf,
+    )(x2, df, hs, q2, idx_flat, ew2, mf, centers,
       params["w_dst"], b2(params["b_dst"]), params["w_src"],
       params["w_rbf"], b2(params["ln_k_scale"]), b2(params["ln_k_bias"]),
       b2(params["ln_v_scale"]), b2(params["ln_v_bias"]),
@@ -240,11 +271,11 @@ def edge_block_pallas(params: Dict[str, Array], r_feat: Array,
     return out.reshape(B, N, n_heads, 3)
 
 
-def edge_block(params, r_feat, dst_feats, h_src, q, idx, e_w, nbr_mask,
-               rel_x, n_heads: int, mode: str,
-               use_pallas: bool = True) -> Array:
+def edge_block(params, x, dst_feats, h_src, q, idx, e_w, nbr_mask,
+               n_heads: int, mode: str, num_rbf: int = 20,
+               r_max: float = 10.0, use_pallas: bool = True) -> Array:
     if use_pallas and jax.default_backend() == "tpu":
-        return edge_block_pallas(params, r_feat, dst_feats, h_src, q, idx,
-                                 e_w, nbr_mask, rel_x, n_heads, mode)
-    return edge_block_xla(params, r_feat, dst_feats, h_src, q, idx, e_w,
-                          nbr_mask, rel_x, n_heads, mode)
+        return edge_block_pallas(params, x, dst_feats, h_src, q, idx, e_w,
+                                 nbr_mask, n_heads, mode, num_rbf, r_max)
+    return edge_block_xla(params, x, dst_feats, h_src, q, idx, e_w,
+                          nbr_mask, n_heads, mode, num_rbf, r_max)

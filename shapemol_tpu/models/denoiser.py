@@ -164,9 +164,9 @@ class X2HAttLayer(nn.Module):
     cfg: DenoiserConfig
 
     @nn.compact
-    def __call__(self, h, r_feat, idx, invar_shape, e_w, nbr_mask,
+    def __call__(self, h, x, idx, invar_shape, e_w, nbr_mask,
                  topo=None):
-        """h (B,N,H); r_feat (B,N,K,R); idx (B,N,K) neighbor indices;
+        """h (B,N,H); x (B,N,3) positions; idx (B,N,K) neighbor indices;
         invar_shape (B,N,S'); e_w (B,N,K,1); nbr_mask (B,N,K);
         topo (B,N,H) optional per-node topology features."""
         cfg = self.cfg
@@ -176,13 +176,14 @@ class X2HAttLayer(nn.Module):
         dst_parts = [h] + ([topo] if topo is not None else []) + [invar_shape]
         dst_feats = jnp.concatenate(dst_parts, axis=-1)
         params = _make_edge_params(self, dst_feats.shape[-1], hd,
-                                   r_feat.shape[-1], hd)
+                                   cfg.num_r_gaussian, hd)
         q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
                 name="hq_func")(h.astype(dt)).astype(jnp.float32)
 
         from shapemol_tpu.kernels.edge_block import edge_block
-        msg = edge_block(params, r_feat, dst_feats, h, q, idx, e_w,
-                         nbr_mask, None, heads, "x2h",
+        msg = edge_block(params, x, dst_feats, h, q, idx, e_w,
+                         nbr_mask, heads, "x2h",
+                         num_rbf=cfg.num_r_gaussian, r_max=cfg.r_max,
                          use_pallas=cfg.use_pallas_attention)
 
         out = jnp.concatenate([msg.astype(dt), h.astype(dt)], axis=-1)
@@ -197,25 +198,26 @@ class H2XAttLayer(nn.Module):
     cfg: DenoiserConfig
 
     @nn.compact
-    def __call__(self, h, x, rel_x, r_feat, idx, invar_shape, shape_emb,
+    def __call__(self, h, x, idx, invar_shape, shape_emb,
                  e_w, nbr_mask, node_mask, train: bool, topo=None):
         cfg = self.cfg
-        B, N, K, _ = r_feat.shape
+        B, N = h.shape[:2]
         heads, hd = cfg.n_heads, cfg.hidden_dim
         dt = _cdtype(cfg)
 
         dst_parts = [h] + ([topo] if topo is not None else []) + [invar_shape]
         dst_feats = jnp.concatenate(dst_parts, axis=-1)
         params = _make_edge_params(self, dst_feats.shape[-1], hd,
-                                   r_feat.shape[-1], heads)
+                                   cfg.num_r_gaussian, heads)
         q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
                 name="xq_func")(h.astype(dt)).astype(jnp.float32)
 
-        # one fused kernel: edge MLP, softmax, the narrow per-head gates and
-        # the rel_x contraction all stay on-chip
+        # one fused kernel: geometry/RBF, edge MLP, softmax, the narrow
+        # per-head gates and the rel_x contraction all stay on-chip
         from shapemol_tpu.kernels.edge_block import edge_block
-        msg = edge_block(params, r_feat, dst_feats, h, q, idx, e_w,
-                         nbr_mask, rel_x, heads, "h2x",
+        msg = edge_block(params, x, dst_feats, h, q, idx, e_w,
+                         nbr_mask, heads, "h2x",
+                         num_rbf=cfg.num_r_gaussian, r_max=cfg.r_max,
                          use_pallas=cfg.use_pallas_attention)
         # (B,N,heads,3) float32
 
@@ -238,17 +240,18 @@ class TopoLayer(nn.Module):
     cfg: DenoiserConfig
 
     @nn.compact
-    def __call__(self, h, r_feat, idx, e_w, nbr_mask):
+    def __call__(self, h, x, idx, e_w, nbr_mask):
         cfg = self.cfg
         heads, hd = cfg.n_heads, cfg.hidden_dim
         dt = _cdtype(cfg)
 
-        params = _make_edge_params(self, hd, hd, r_feat.shape[-1], hd)
+        params = _make_edge_params(self, hd, hd, cfg.num_r_gaussian, hd)
         q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
                 name="xq_func")(h.astype(dt)).astype(jnp.float32)
         from shapemol_tpu.kernels.edge_block import edge_block
-        msg = edge_block(params, r_feat, h, h, q, idx, e_w, nbr_mask,
-                         None, heads, "x2h",
+        msg = edge_block(params, x, h, h, q, idx, e_w, nbr_mask,
+                         heads, "x2h", num_rbf=cfg.num_r_gaussian,
+                         r_max=cfg.r_max,
                          use_pallas=cfg.use_pallas_attention)
         out = jnp.concatenate([msg.astype(dt), h.astype(dt)], axis=-1)
         out = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
@@ -264,36 +267,24 @@ class AttentionBlockLayer(nn.Module):
     @nn.compact
     def __call__(self, h, x, idx, nbr_mask, invar_shape, shape_emb, e_w,
                  node_mask, train: bool, topo=None):
+        # neighbor geometry + RBF expansion happen INSIDE the fused edge
+        # kernels (kernels/edge_block.py) from (x, idx); x is constant
+        # through the x2h stack and entering the first h2x iteration, and
+        # each layer recomputes rel_x from the current x exactly like the
+        # reference (uni_transformer.py:301,328)
         cfg = self.cfg
-        rbf = GaussianSmearing(0.0, cfg.r_max,
-                               num_gaussians=cfg.num_r_gaussian,
-                               name="distance_expansion")
-
-        nbr_x = gather_neighbors(x, idx)
-        rel_x = x[:, :, None, :] - nbr_x                        # dst - src
-        dist = jnp.linalg.norm(rel_x + 1e-12, axis=-1)
-        # x is constant throughout the x2h stack and entering the first h2x
-        # iteration, so one RBF expansion serves both (the reference
-        # recomputes the identical expansion — uni_transformer.py:310,320)
-        r_feat = rbf(dist)
-
         h_in = h
         for i in range(cfg.num_x2h):
             h_in = X2HAttLayer(cfg, name=f"x2h_{i}")(
-                h_in, r_feat, idx, invar_shape, e_w, nbr_mask, topo=topo)
+                h_in, x, idx, invar_shape, e_w, nbr_mask, topo=topo)
         x2h_out = h_in
 
         new_h = h if cfg.sync_twoup else x2h_out
         for i in range(cfg.num_h2x):
             delta = H2XAttLayer(cfg, name=f"h2x_{i}")(
-                new_h, x, rel_x, r_feat, idx, invar_shape, shape_emb,
+                new_h, x, idx, invar_shape, shape_emb,
                 e_w, nbr_mask, node_mask, train, topo=topo)
             x = x + delta * node_mask[..., None].astype(x.dtype)
-            if i < cfg.num_h2x - 1:
-                nbr_x = gather_neighbors(x, idx)
-                rel_x = x[:, :, None, :] - nbr_x
-                dist = jnp.linalg.norm(rel_x + 1e-12, axis=-1)
-                r_feat = rbf(dist)
         return x2h_out, x
 
 
@@ -368,13 +359,9 @@ class UniTransformer(nn.Module):
                 cov_idx, cov_mask = covalent_knn(x, v, node_mask,
                                                  radii_table, cfg.cov_k)
                 cov_ew = pred_ew(x, cov_idx)
-                cov_nbr_x = gather_neighbors(x, cov_idx)
-                cov_dist = jnp.linalg.norm(
-                    x[:, :, None, :] - cov_nbr_x + 1e-12, axis=-1)
-                cov_rfeat = rbf(cov_dist)
                 t_in = h
                 for tl in topo_layers:
-                    t_in = tl(t_in, cov_rfeat, cov_idx, cov_ew, cov_mask)
+                    t_in = tl(t_in, x, cov_idx, cov_ew, cov_mask)
                 topo = t_in
 
             for layer in layers:

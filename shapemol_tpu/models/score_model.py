@@ -184,3 +184,48 @@ def diffusion_loss(net: ShapeDiffusionNet, sched: dfn.DiffusionSchedule,
            "t": t, "pred_ligand_pos": pred_pos, "pred_ligand_v": pred_v,
            "updates": updates}
     return loss, aux
+
+
+# --------------------------------------------------------------------------
+# Variational-bound terms (reference molopt_score_model.py:387-445):
+# the shipped configs train with the simple MSE objective above, but the
+# KL formulation (loss_pos_type='kl') and the prior terms are part of the
+# reference API surface.
+# --------------------------------------------------------------------------
+
+def compute_pos_Lt(sched: dfn.DiffusionSchedule, pos_model_mean, x0, xt, t,
+                   node_mask):
+    """Per-graph KL(q(x_{t-1}|x_t,x_0) || p) in bits, with the decoder NLL
+    at t=0 (reference compute_pos_Lt, molopt_score_model.py:424-436)."""
+    logvar = dfn.extract(sched.posterior_logvar, t, x0.ndim)
+    true_mean = dfn.q_pos_posterior(sched, x0, xt, t)
+    kl = dfn.normal_kl(true_mean, logvar, pos_model_mean, logvar) / jnp.log(2.0)
+    var = jnp.exp(logvar)
+    log_prob = (-((x0 - pos_model_mean) ** 2) / (2 * var)
+                - 0.5 * logvar - 0.5 * jnp.log(2 * jnp.pi))
+    nll = -log_prob.sum(-1)
+    t0 = (t == 0).astype(jnp.float32)[:, None]
+    return masked_graph_mean(t0 * nll + (1 - t0) * kl, node_mask)
+
+
+def kl_pos_prior(sched: dfn.DiffusionSchedule, rng, pos0, node_mask):
+    """Terminal-prior mismatch for positions (reference kl_pos_prior,
+    molopt_score_model.py:406-414)."""
+    T = sched.num_timesteps
+    t = jnp.full((pos0.shape[0],), T - 1, jnp.int32)
+    r1, r2 = jax.random.split(rng)
+    pos_T, _ = dfn.q_pos_sample(sched, r1, pos0, t)
+    prior = jax.random.normal(r2, pos_T.shape)
+    sq = jnp.sum((pos_T - prior) ** 2, axis=-1)
+    return jnp.mean(masked_graph_mean(sq, node_mask)) / 3.0
+
+
+def kl_v_prior(sched: dfn.DiffusionSchedule, log_v0, node_mask):
+    """KL between q(v_T|v_0) and the uniform terminal distribution
+    (reference kl_v_prior, molopt_score_model.py:387-393)."""
+    T = sched.num_timesteps
+    t = jnp.full((log_v0.shape[0],), T - 1, jnp.int32)
+    log_qvT = dfn.q_v_pred(sched, log_v0, t)
+    log_uniform = jnp.full_like(log_qvT, -jnp.log(float(sched.num_classes)))
+    kl = dfn.categorical_kl(log_qvT, log_uniform)
+    return masked_graph_mean(kl, node_mask)

@@ -85,3 +85,49 @@ def test_h2x_pallas_matches_xla_interpret():
     assert out_pl.shape == (B, N, heads, 3)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
                                atol=1e-4)
+
+
+def test_edge_block_pallas_matches_xla_interpret():
+    """Full fused layer kernel (geometry + edge MLP + attention) vs the XLA
+    reference composition, both modes."""
+    from shapemol_tpu.kernels.edge_block import (edge_block_pallas,
+                                                 edge_block_xla)
+    rng = np.random.default_rng(5)
+    B, N, K, H, heads, D, R = 2, 8, 4, 32, 4, 40, 20
+    params = {
+        "w_dst": jnp.asarray(rng.standard_normal((D, 2 * H)) * 0.1, jnp.float32),
+        "b_dst": jnp.asarray(rng.standard_normal(2 * H) * 0.1, jnp.float32),
+        "w_src": jnp.asarray(rng.standard_normal((H, 2 * H)) * 0.1, jnp.float32),
+        "w_rbf": jnp.asarray(rng.standard_normal((R, 2 * H)) * 0.1, jnp.float32),
+        "ln_k_scale": jnp.ones(H), "ln_k_bias": jnp.zeros(H),
+        "ln_v_scale": jnp.ones(H), "ln_v_bias": jnp.zeros(H),
+        "w_out_k": jnp.asarray(rng.standard_normal((H, H)) * 0.1, jnp.float32),
+        "b_out_k": jnp.zeros(H),
+        "w_out_v": jnp.asarray(rng.standard_normal((H, heads)) * 0.1, jnp.float32),
+        "b_out_v": jnp.zeros(heads),
+    }
+    x = jnp.asarray(rng.standard_normal((B, N, 3)) * 2, jnp.float32)
+    dst = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((B, N, H)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, N, H)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, N, K)), jnp.int32)
+    e_w = jnp.asarray(rng.random((B, N, K, 1)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, N, K)) < 0.8)
+
+    out_xla = edge_block_xla(params, x, dst, h, q, idx, e_w, mask, heads,
+                             "h2x", num_rbf=R)
+    out_pl = edge_block_pallas(params, x, dst, h, q, idx, e_w, mask, heads,
+                               "h2x", num_rbf=R, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               atol=2e-4)
+
+    params_x2h = dict(params)
+    params_x2h["w_out_v"] = jnp.asarray(
+        rng.standard_normal((H, H)) * 0.1, jnp.float32)
+    params_x2h["b_out_v"] = jnp.zeros(H)
+    out_xla = edge_block_xla(params_x2h, x, dst, h, q, idx, e_w, mask,
+                             heads, "x2h", num_rbf=R)
+    out_pl = edge_block_pallas(params_x2h, x, dst, h, q, idx, e_w, mask,
+                               heads, "x2h", num_rbf=R, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               atol=2e-4)

@@ -133,3 +133,29 @@ def test_cond_mask_dropout_changes_loss(net_and_vars):
                            pos, v, mask, shape, t=t, train=True,
                            cond_mask_prob=1.0)
     assert not np.isclose(float(l1), float(l2))
+
+
+def test_variational_bound_terms():
+    from shapemol_tpu.models.score_model import (compute_pos_Lt,
+                                                 kl_pos_prior, kl_v_prior)
+    from shapemol_tpu.models import diffusion as dfn
+    sched = CFG.make_schedule()
+    pos, v, mask, shape = _batch(7)
+    t = jnp.array([10, 30])
+    rng = jax.random.PRNGKey(0)
+    pos_t, _ = dfn.q_pos_sample(sched, rng, pos, t)
+    # model mean == true posterior mean -> KL term is 0 where t>0
+    true_mean = dfn.q_pos_posterior(sched, pos, pos_t, t)
+    lt = compute_pos_Lt(sched, true_mean, pos, pos_t, t, mask)
+    np.testing.assert_allclose(np.asarray(lt), 0.0, atol=1e-5)
+    # perturbed mean -> positive KL
+    lt2 = compute_pos_Lt(sched, true_mean + 0.5, pos, pos_t, t, mask)
+    assert (np.asarray(lt2) > 0).all()
+
+    kp = kl_pos_prior(sched, rng, pos, mask)
+    assert np.isfinite(float(kp)) and float(kp) > 0
+
+    log_v0 = dfn.index_to_log_onehot(v, 15)
+    kv = kl_v_prior(sched, log_v0, mask)
+    # at T the chain is near-uniform: tiny prior KL
+    assert (np.asarray(kv) < 0.05).all()
