@@ -271,11 +271,48 @@ def edge_block_pallas(params: Dict[str, Array], x: Array,
     return out.reshape(B, N, n_heads, 3)
 
 
+# --------------------------------------------------------------------------
+# Autodiff: Pallas forward, XLA backward.
+# Mosaic kernels have no reverse-mode rule, so training would fail through
+# pallas_call. The custom VJP runs the kernel forward and differentiates the
+# numerics-identical XLA composition for the backward pass — forward gets
+# kernel speed, gradients are exactly the XLA gradients.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _edge_block_ad(params, x, dst_feats, h_src, q, idx, e_w, nbr_mask,
+                   n_heads, mode, num_rbf, r_max):
+    return edge_block_pallas(params, x, dst_feats, h_src, q, idx, e_w,
+                             nbr_mask, n_heads, mode, num_rbf, r_max)
+
+
+def _edge_block_fwd(params, x, dst_feats, h_src, q, idx, e_w, nbr_mask,
+                    n_heads, mode, num_rbf, r_max):
+    out = edge_block_pallas(params, x, dst_feats, h_src, q, idx, e_w,
+                            nbr_mask, n_heads, mode, num_rbf, r_max)
+    return out, (params, x, dst_feats, h_src, q, idx, e_w, nbr_mask)
+
+
+def _edge_block_bwd(n_heads, mode, num_rbf, r_max, res, g):
+    params, x, dst_feats, h_src, q, idx, e_w, nbr_mask = res
+    _, vjp = jax.vjp(
+        lambda p, x_, d_, h_, q_, e_: edge_block_xla(
+            p, x_, d_, h_, q_, idx, e_, nbr_mask, n_heads, mode,
+            num_rbf, r_max),
+        params, x, dst_feats, h_src, q, e_w)
+    d_params, d_x, d_dst, d_h, d_q, d_ew = vjp(g)
+    f0 = lambda t: np.zeros(t.shape, dtype=jax.dtypes.float0)
+    return (d_params, d_x, d_dst, d_h, d_q, f0(idx), d_ew, f0(nbr_mask))
+
+
+_edge_block_ad.defvjp(_edge_block_fwd, _edge_block_bwd)
+
+
 def edge_block(params, x, dst_feats, h_src, q, idx, e_w, nbr_mask,
                n_heads: int, mode: str, num_rbf: int = 20,
                r_max: float = 10.0, use_pallas: bool = True) -> Array:
     if use_pallas and jax.default_backend() == "tpu":
-        return edge_block_pallas(params, x, dst_feats, h_src, q, idx, e_w,
-                                 nbr_mask, n_heads, mode, num_rbf, r_max)
+        return _edge_block_ad(params, x, dst_feats, h_src, q, idx, e_w,
+                              nbr_mask, n_heads, mode, num_rbf, r_max)
     return edge_block_xla(params, x, dst_feats, h_src, q, idx, e_w,
                           nbr_mask, n_heads, mode, num_rbf, r_max)
