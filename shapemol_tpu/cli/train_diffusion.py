@@ -163,7 +163,8 @@ def main():
     net = ShapeDiffusionNet(model_cfg)
     dsched = model_cfg.make_schedule()
 
-    batcher = BucketBatcher(dataset, cfg.train.batch_size,
+    n_acc = int(cfg.train.get("n_acc_batch", 1))
+    batcher = BucketBatcher(dataset, cfg.train.batch_size * n_acc,
                             random_rotate=bool(cfg.data.get_path(
                                 "transform.random_rot", False)),
                             seed=cfg.train.seed, indices=split["train"])
@@ -186,7 +187,8 @@ def main():
                         weight_decay=cfg.train.optimizer.get("weight_decay", 0),
                         max_grad_norm=cfg.train.get("max_grad_norm", 8.0))
     state = create_train_state(variables["params"],
-                               variables.get("batch_stats"), tx)
+                               variables.get("batch_stats"), tx,
+                               ema=cfg.train.get("ema_decay") is not None)
     start_it = 1
     if args.resume:
         state, meta = restore_checkpoint(args.resume, state)
@@ -197,7 +199,10 @@ def main():
                           **{k: v for k, v in cfg.train.scheduler.items()
                              if k != "type"})
     mesh = make_mesh(args.mesh) if args.mesh > 1 else None
-    train_step = make_diffusion_train_step(net, dsched, tx, mesh=mesh)
+    train_step = make_diffusion_train_step(
+        net, dsched, tx, mesh=mesh,
+        ema_decay=cfg.train.get("ema_decay", None),
+        n_acc=int(cfg.train.get("n_acc_batch", 1)))
     eval_step = make_diffusion_eval_step(net, dsched)
 
     val_batches = val_batcher.fixed_batches(

@@ -29,25 +29,59 @@ def make_diffusion_train_step(net: ShapeDiffusionNet,
                               sched: dfn.DiffusionSchedule,
                               tx: optax.GradientTransformation,
                               mesh: Optional[Mesh] = None,
-                              ema_decay: Optional[float] = None):
+                              ema_decay: Optional[float] = None,
+                              n_acc: int = 1):
     """Returns step(state, rng, batch) -> (state, metrics), jitted and (if a
-    mesh is given) sharded: batch over 'dp', state replicated."""
+    mesh is given) sharded: batch over 'dp', state replicated.
 
-    def step(state: TrainState, rng, batch):
-        def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
+    n_acc > 1 enables gradient accumulation (reference n_acc_batch,
+    scripts/train_diffusion.py:138-151): the batch's leading axis must be
+    n_acc * micro_batch; micro-batches are folded by lax.scan inside the
+    same jit and gradients averaged before the optimizer update."""
+
+    def loss_and_grads(params, batch_stats, rng, batch):
+        def loss_fn(p):
+            variables = {"params": p}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
             loss, aux = diffusion_loss(
                 net, sched, variables, rng, batch["pos"], batch["v"],
                 batch["node_mask"], batch["shape_emb"], train=True)
             return loss, aux
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+    def step(state: TrainState, rng, batch):
+        if n_acc <= 1:
+            (loss, aux), grads = loss_and_grads(state.params,
+                                                state.batch_stats, rng,
+                                                batch)
+            loss_pos, loss_v = aux["loss_pos"], aux["loss_v"]
+            new_bs = aux["updates"].get("batch_stats", state.batch_stats)
+        else:
+            micro = {k: v.reshape(n_acc, v.shape[0] // n_acc, *v.shape[1:])
+                     for k, v in batch.items()}
+
+            def acc_body(carry, mb):
+                grads_acc, l_acc, lp_acc, lv_acc, bs, r = carry
+                r, sub = jax.random.split(r)
+                (loss, aux), grads = loss_and_grads(state.params, bs, sub,
+                                                    mb)
+                bs = aux["updates"].get("batch_stats", bs)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc,
+                                                   grads)
+                return (grads_acc, l_acc + loss, lp_acc + aux["loss_pos"],
+                        lv_acc + aux["loss_v"], bs, r), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss, loss_pos, loss_v, new_bs, _), _ = jax.lax.scan(
+                acc_body,
+                (zero_grads, 0.0, 0.0, 0.0, state.batch_stats, rng), micro)
+            grads = jax.tree_util.tree_map(lambda g: g / n_acc, grads)
+            loss, loss_pos, loss_v = (loss / n_acc, loss_pos / n_acc,
+                                      loss_v / n_acc)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_bs = aux["updates"].get("batch_stats", state.batch_stats)
         ema = state.ema_params
         if ema is not None and ema_decay is not None:
             ema = ema_update(ema, params, ema_decay)
@@ -55,8 +89,8 @@ def make_diffusion_train_step(net: ShapeDiffusionNet,
                                   batch_stats=new_bs, opt_state=opt_state,
                                   ema_params=ema)
         gnorm = optax.global_norm(grads)
-        metrics = {"loss": loss, "loss_pos": aux["loss_pos"],
-                   "loss_v": aux["loss_v"], "grad_norm": gnorm}
+        metrics = {"loss": loss, "loss_pos": loss_pos,
+                   "loss_v": loss_v, "grad_norm": gnorm}
         return new_state, metrics
 
     if mesh is None:
