@@ -116,7 +116,9 @@ def get_rocs(centers_1: np.ndarray, centers_2: np.ndarray,
 def _principal_frame(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     c = x.mean(axis=0)
     xc = x - c
-    _, _, vt = np.linalg.svd(xc, full_matrices=False)
+    # full_matrices=True keeps vt square (3,3) even for degenerate inputs
+    # with fewer than 3 points
+    _, _, vt = np.linalg.svd(xc, full_matrices=True)
     r = vt.T
     if np.linalg.det(r) < 0:
         r[:, -1] = -r[:, -1]

@@ -182,3 +182,14 @@ def test_process_sample_and_evaluate_generation():
     assert metrics["ref_tanimoto_max"] == 1.0
     assert metrics["qed_mean"] is not None
     assert metrics["ring_size_ratio"][6] > 0
+
+
+def test_alignment_degenerate_inputs():
+    """Alignment must not crash on 1- or 2-atom molecules (generated
+    fragments can be tiny)."""
+    a = np.array([[0.0, 0, 0], [1.5, 0, 0], [3.0, 0, 0]])
+    for n in (1, 2):
+        b = a[:n]
+        aligned, t = sim.align_by_overlap(a, b)
+        assert aligned.shape == (n, 3)
+        assert 0 <= t <= 1
