@@ -7,8 +7,6 @@ All functions raise ImportError with a clear message when RDKit is absent —
 the rest of the framework never imports this module implicitly."""
 from __future__ import annotations
 
-from typing import List, Optional
-
 import numpy as np
 
 from shapemol_tpu.chem.mol import Molecule, AROMATIC

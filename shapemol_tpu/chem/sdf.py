@@ -4,7 +4,7 @@ parse_sdf_file; ShaEP adapter writes mol files in
 utils/evaluation/shaep_utils.py:37-46)."""
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

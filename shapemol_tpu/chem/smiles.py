@@ -13,11 +13,10 @@ uniqueness/completeness metrics require (it is not guaranteed to equal
 RDKit's canonical string)."""
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Set, Tuple
 
 import numpy as np
 
-from shapemol_tpu.chem import periodic as pt
 from shapemol_tpu.chem.mol import Molecule, AROMATIC
 
 _ORGANIC_SUBSET = {"B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I"}

@@ -17,7 +17,6 @@ import os
 import numpy as np
 
 from shapemol_tpu.chem import vocab
-from shapemol_tpu.chem.mol import Molecule
 from shapemol_tpu.core import misc
 from shapemol_tpu.eval import bond_length as eval_bond
 from shapemol_tpu.eval.evaluate import evaluate_generation

@@ -25,7 +25,6 @@ from shapemol_tpu.core.checkpoint import save_checkpoint
 from shapemol_tpu.data.preprocess import (preprocess_shape_dataset,
                                           ShapePackDataset)
 from shapemol_tpu.models.shape_ae import PointCloudAE
-from shapemol_tpu.parallel.mesh import make_mesh
 from shapemol_tpu.train.loops import (make_shape_ae_train_step,
                                       make_shape_ae_eval_step)
 from shapemol_tpu.train.train_state import (create_train_state, get_scheduler,

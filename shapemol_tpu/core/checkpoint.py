@@ -8,13 +8,10 @@ TrainState pytree, LR-scheduler state is a small dict, and the config rides
 along as metadata."""
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

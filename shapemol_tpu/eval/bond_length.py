@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 from scipy.spatial.distance import jensenshannon
 
-from shapemol_tpu.chem.mol import Molecule, AROMATIC
+from shapemol_tpu.chem.mol import Molecule
 
 BondType = Tuple[int, int, int]          # (z1, z2, bond_order) with z1<=z2
 BondLengthData = Tuple[BondType, float]

@@ -18,7 +18,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from shapemol_tpu.chem.mol import Molecule, AROMATIC, ring_basis
+from shapemol_tpu.chem.mol import Molecule, ring_basis
 
 ATOMIC_WEIGHTS = {1: 1.008, 5: 10.81, 6: 12.011, 7: 14.007, 8: 15.999,
                   9: 18.998, 14: 28.085, 15: 30.974, 16: 32.06,

@@ -14,8 +14,7 @@ Functional parity targets:
 """
 from __future__ import annotations
 
-import hashlib
-from typing import Dict, List, Sequence, Set, Tuple
+from typing import Sequence, Set, Tuple
 
 import numpy as np
 

@@ -12,8 +12,6 @@ painting — identical result (a voxel is set iff it lies within some atom's
 vdW sphere), no per-voxel Python loops."""
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 from shapemol_tpu.chem import periodic as pt

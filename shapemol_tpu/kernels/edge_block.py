@@ -124,11 +124,18 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
                        lnk_s_ref, lnk_b_ref, lnv_s_ref, lnv_b_ref,
                        woutk_ref, boutk_ref, woutv_ref, boutv_ref,
                        out_ref, *, n_heads: int, K: int, mode: str,
-                       num_rbf: int, r_max: float):
+                       num_rbf: int, r_max: float, mm_dtype=jnp.float32):
     _, TN, H = src_ref.shape
     TNK = TN * K
     dh = H // n_heads
     f32 = jnp.float32
+    md = mm_dtype          # matmul input dtype (bf16 = 4x MXU rate on v5e;
+                           # 0/1 indicators and LN'd activations round safely;
+                           # accumulation stays f32 via preferred_element_type)
+
+    def mdot(a, b):
+        return jax.lax.dot(a.astype(md), b.astype(md),
+                           preferred_element_type=f32)
 
     G = _indicator((TN, TNK), lambda r, c: c // K == r)
     GT = _indicator((TNK, TN), lambda r, c: r // K == c)
@@ -146,26 +153,21 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
     r_feat = jnp.exp(coeff * (dist - centers_ref[:]) ** 2)     # (TNK, R)
 
     # ---- decomposed edge MLP
-    dst = jax.lax.dot(dst_ref[0].astype(f32), wdst_ref[:].astype(f32),
-                      preferred_element_type=f32) + bdst_ref[:].astype(f32)
-    src = jax.lax.dot(src_ref[0].astype(f32), wsrc_ref[:].astype(f32),
-                      preferred_element_type=f32)              # (TN, 2H)
-    src_g = jax.lax.dot(P, src, preferred_element_type=f32)
-    dst_g = jax.lax.dot(GT, dst, preferred_element_type=f32)
-    edge = jax.lax.dot(r_feat, wrbf_ref[:].astype(f32),
-                       preferred_element_type=f32)             # (TNK, 2H)
+    dst = mdot(dst_ref[0], wdst_ref[:]) + bdst_ref[:].astype(f32)
+    src = mdot(src_ref[0], wsrc_ref[:])                        # (TN, 2H)
+    src_g = mdot(P, src)
+    dst_g = mdot(GT, dst)
+    edge = mdot(r_feat, wrbf_ref[:])                           # (TNK, 2H)
     joint = edge + src_g + dst_g
     hk = jnp.maximum(_ln(joint[:, :H], lnk_s_ref[:].astype(f32),
                          lnk_b_ref[:].astype(f32)), 0.0)
     hv = jnp.maximum(_ln(joint[:, H:], lnv_s_ref[:].astype(f32),
                          lnv_b_ref[:].astype(f32)), 0.0)
-    k = jax.lax.dot(hk, woutk_ref[:].astype(f32),
-                    preferred_element_type=f32) + boutk_ref[:].astype(f32)
+    k = mdot(hk, woutk_ref[:]) + boutk_ref[:].astype(f32)
 
     # ---- attention core
     head_sum = _indicator((H, n_heads), lambda r, c: r // dh == c)
-    q_rep = jax.lax.dot(GT, q_ref[0].astype(f32),
-                        preferred_element_type=f32)
+    q_rep = mdot(GT, q_ref[0])
     logits = jax.lax.dot(q_rep * k, head_sum,
                          preferred_element_type=f32) / np.sqrt(dh)
     mf = mask_ref[0]
@@ -177,8 +179,7 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
                         preferred_element_type=f32)
     alpha = expd / jnp.maximum(denom, 1e-20)                   # (TNK, heads)
 
-    v = jax.lax.dot(hv, woutv_ref[:].astype(f32),
-                    preferred_element_type=f32) + boutv_ref[:].astype(f32)
+    v = mdot(hv, woutv_ref[:]) + boutv_ref[:].astype(f32)
     if mode == "x2h":
         v = v * ew_ref[0]                                      # (TNK, H)
         alpha_full = jax.lax.dot(alpha, head_sum.T,
@@ -205,11 +206,12 @@ def _tile(B: int, N: int, K: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "mode", "num_rbf", "r_max",
-                                    "interpret"))
+                                    "mm_dtype", "interpret"))
 def edge_block_pallas(params: Dict[str, Array], x: Array,
                       dst_feats: Array, h_src: Array, q: Array, idx: Array,
                       e_w: Array, nbr_mask: Array, n_heads: int,
                       mode: str, num_rbf: int = 20, r_max: float = 10.0,
+                      mm_dtype: str = "float32",
                       interpret: bool = False) -> Array:
     B, N, K = idx.shape
     H = h_src.shape[-1]
@@ -234,8 +236,10 @@ def edge_block_pallas(params: Dict[str, Array], x: Array,
     vm = lambda shape, imap: pl.BlockSpec(shape, imap,
                                           memory_space=pltpu.VMEM)
     bcast = lambda b: (0, 0)
-    kern = functools.partial(_edge_block_kernel, n_heads=n_heads, K=K,
-                             mode=mode, num_rbf=num_rbf, r_max=r_max)
+    kern = functools.partial(
+        _edge_block_kernel, n_heads=n_heads, K=K, mode=mode,
+        num_rbf=num_rbf, r_max=r_max,
+        mm_dtype=jnp.bfloat16 if mm_dtype == "bfloat16" else jnp.float32)
     out = pl.pallas_call(
         kern,
         grid=(G_,),
@@ -279,21 +283,23 @@ def edge_block_pallas(params: Dict[str, Array], x: Array,
 # kernel speed, gradients are exactly the XLA gradients.
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _edge_block_ad(params, x, dst_feats, h_src, q, idx, e_w, nbr_mask,
-                   n_heads, mode, num_rbf, r_max):
+                   n_heads, mode, num_rbf, r_max, mm_dtype):
     return edge_block_pallas(params, x, dst_feats, h_src, q, idx, e_w,
-                             nbr_mask, n_heads, mode, num_rbf, r_max)
+                             nbr_mask, n_heads, mode, num_rbf, r_max,
+                             mm_dtype)
 
 
 def _edge_block_fwd(params, x, dst_feats, h_src, q, idx, e_w, nbr_mask,
-                    n_heads, mode, num_rbf, r_max):
+                    n_heads, mode, num_rbf, r_max, mm_dtype):
     out = edge_block_pallas(params, x, dst_feats, h_src, q, idx, e_w,
-                            nbr_mask, n_heads, mode, num_rbf, r_max)
+                            nbr_mask, n_heads, mode, num_rbf, r_max,
+                            mm_dtype)
     return out, (params, x, dst_feats, h_src, q, idx, e_w, nbr_mask)
 
 
-def _edge_block_bwd(n_heads, mode, num_rbf, r_max, res, g):
+def _edge_block_bwd(n_heads, mode, num_rbf, r_max, mm_dtype, res, g):
     params, x, dst_feats, h_src, q, idx, e_w, nbr_mask = res
     _, vjp = jax.vjp(
         lambda p, x_, d_, h_, q_, e_: edge_block_xla(
@@ -310,9 +316,11 @@ _edge_block_ad.defvjp(_edge_block_fwd, _edge_block_bwd)
 
 def edge_block(params, x, dst_feats, h_src, q, idx, e_w, nbr_mask,
                n_heads: int, mode: str, num_rbf: int = 20,
-               r_max: float = 10.0, use_pallas: bool = True) -> Array:
+               r_max: float = 10.0, use_pallas: bool = True,
+               mm_dtype: str = "float32") -> Array:
     if use_pallas and jax.default_backend() == "tpu":
         return _edge_block_ad(params, x, dst_feats, h_src, q, idx, e_w,
-                              nbr_mask, n_heads, mode, num_rbf, r_max)
+                              nbr_mask, n_heads, mode, num_rbf, r_max,
+                              mm_dtype)
     return edge_block_xla(params, x, dst_feats, h_src, q, idx, e_w,
                           nbr_mask, n_heads, mode, num_rbf, r_max)

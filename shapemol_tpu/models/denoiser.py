@@ -184,7 +184,8 @@ class X2HAttLayer(nn.Module):
         msg = edge_block(params, x, dst_feats, h, q, idx, e_w,
                          nbr_mask, heads, "x2h",
                          num_rbf=cfg.num_r_gaussian, r_max=cfg.r_max,
-                         use_pallas=cfg.use_pallas_attention)
+                         use_pallas=cfg.use_pallas_attention,
+                         mm_dtype=cfg.dtype)
 
         out = jnp.concatenate([msg.astype(dt), h.astype(dt)], axis=-1)
         out = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
@@ -218,7 +219,8 @@ class H2XAttLayer(nn.Module):
         msg = edge_block(params, x, dst_feats, h, q, idx, e_w,
                          nbr_mask, heads, "h2x",
                          num_rbf=cfg.num_r_gaussian, r_max=cfg.r_max,
-                         use_pallas=cfg.use_pallas_attention)
+                         use_pallas=cfg.use_pallas_attention,
+                         mm_dtype=cfg.dtype)
         # (B,N,heads,3) float32
 
         # attention_residue: VN mix of (x, messages, shape latent)
@@ -252,7 +254,8 @@ class TopoLayer(nn.Module):
         msg = edge_block(params, x, h, h, q, idx, e_w, nbr_mask,
                          heads, "x2h", num_rbf=cfg.num_r_gaussian,
                          r_max=cfg.r_max,
-                         use_pallas=cfg.use_pallas_attention)
+                         use_pallas=cfg.use_pallas_attention,
+                         mm_dtype=cfg.dtype)
         out = jnp.concatenate([msg.astype(dt), h.astype(dt)], axis=-1)
         out = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
                   name="topo_output")(out)

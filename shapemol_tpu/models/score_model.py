@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from shapemol_tpu.models import diffusion as dfn
 from shapemol_tpu.models.denoiser import DenoiserConfig, UniTransformer
-from shapemol_tpu.nn.basic import MLP, TimeEmbedding, shifted_softplus
+from shapemol_tpu.nn.basic import TimeEmbedding, shifted_softplus
 
 Array = jax.Array
 

@@ -10,7 +10,6 @@ Functional parity targets (reference file:line):
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax

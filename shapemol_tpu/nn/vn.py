@@ -143,6 +143,50 @@ class VNLinearLeakyReLU(nn.Module):
         return _vn_leaky(p, d, self.negative_slope)
 
 
+class VNStdFeature(nn.Module):
+    """Learned invariant frame: two VN layers predict 3 direction channels
+    z0; features are projected onto them (x @ z0), optionally after
+    Gram-Schmidt orthonormalization of the frame
+    (reference VNStdFeature, shape_vn_layers.py:159-206 — imported by the
+    reference's uni_transformer but unused there; part of the layer zoo).
+
+    Input (..., C, 3) -> (invariant features (..., C, 3'), frame (..., 3, 3))
+    where 3' = 3 (or the 2-vector frame completed by a cross product when
+    normalize_frame=True)."""
+    in_channels: int
+    normalize_frame: bool = False
+    share_nonlinearity: bool = False
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: Array):
+        z0 = VNLinearLeakyReLU(self.in_channels, self.in_channels // 2,
+                               share_nonlinearity=self.share_nonlinearity,
+                               negative_slope=self.negative_slope,
+                               use_batchnorm=False, name="vn1")(x)
+        z0 = VNLinearLeakyReLU(self.in_channels // 2, self.in_channels // 4,
+                               share_nonlinearity=self.share_nonlinearity,
+                               negative_slope=self.negative_slope,
+                               use_batchnorm=False, name="vn2")(z0)
+        n_dirs = 2 if self.normalize_frame else 3
+        z0 = nn.Dense(n_dirs, use_bias=False, name="vn_lin")(
+            z0.swapaxes(-1, -2)).swapaxes(-1, -2)          # (..., n_dirs, 3)
+        if self.normalize_frame:
+            v1 = z0[..., 0, :]
+            u1 = v1 / (jnp.linalg.norm(v1, axis=-1, keepdims=True) + EPS)
+            v2 = z0[..., 1, :]
+            v2 = v2 - jnp.sum(v2 * u1, axis=-1, keepdims=True) * u1
+            u2 = v2 / (jnp.linalg.norm(v2, axis=-1, keepdims=True) + EPS)
+            u3 = jnp.cross(u1, u2)
+            frame = jnp.stack([u1, u2, u3], axis=-2)       # (..., 3, 3)
+        else:
+            frame = z0
+        # invariants: project features onto the (learned, equivariant) frame
+        x_std = jnp.einsum("...cd,...ed->...ce", x, frame,
+                           preferred_element_type=jnp.float32)
+        return x_std, frame
+
+
 class VNResnetBlockFC(nn.Module):
     """VN residual block; fc_1 zero-initialized so the block starts as a
     (possibly projected) identity — mirrors the reference init."""

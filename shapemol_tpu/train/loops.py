@@ -9,8 +9,7 @@ folded by lax.scan inside the same jit.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

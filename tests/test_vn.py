@@ -108,3 +108,21 @@ def test_resnet_block_zero_init_is_identity():
     variables = m.init(jax.random.PRNGKey(0), x)
     np.testing.assert_allclose(np.asarray(m.apply(variables, x)),
                                np.asarray(x), atol=1e-6)
+
+
+def test_vn_std_feature_invariance(rot):
+    """VNStdFeature output must be rotation-INVARIANT (features projected
+    onto an equivariant learned frame) and the frame equivariant."""
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((2, 8, 3)),
+                    jnp.float32)
+    R = jnp.asarray(rot)
+    m = vn.VNStdFeature(8, normalize_frame=True)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    std1, f1 = m.apply(variables, x)
+    std2, f2 = m.apply(variables, x @ R)
+    np.testing.assert_allclose(np.asarray(std2), np.asarray(std1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1 @ R), atol=2e-4)
+    # orthonormal frame
+    gram = np.asarray(jnp.einsum("...ij,...kj->...ik", f1, f1))
+    np.testing.assert_allclose(gram, np.tile(np.eye(3), (2, 1, 1)),
+                               atol=1e-4)
