@@ -40,6 +40,57 @@ class ShapeAEConfig:
     loss_type: str = "signed_distance"   # signed_distance | occupancy
 
 
+class _VNKernel(nn.Module):
+    """Bare kernel holder so decomposed layers keep the exact parameter path
+    of an nn.Dense submodule ({name}/kernel) — the torch importer and any
+    checkpoints stay valid."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class DecomposedVNEdgeConv(nn.Module):
+    """VNLinearLeakyReLU over DGCNN edge features cat(x_j - x_i, x_i),
+    with the channel matmuls DECOMPOSED to node level.
+
+    A VN linear over the concat is W1·(x_j - x_i) + W2·x_i
+    = (W1·x)_j  +  ((W2 - W1)·x)_i, so both the feature and the direction
+    projections run once per NODE and are gathered per edge — ~K-fold fewer
+    matmul FLOPs and a C-wide (not 2C-wide) edge gather, numerically
+    identical to get_graph_feature_cross + VNLinearLeakyReLU
+    (reference shape_pointcloud_modelAE.py:241-250). BatchNorm and the
+    direction gating stay per-edge; output mean-pooled over K."""
+    in_channels: int           # C (edge input is 2C wide)
+    out_channels: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: Array, idx: Array, train: bool = False) -> Array:
+        """x (B,N,C,3); idx (B,N,K) neighbor indices -> (B,N,C',3)."""
+        from shapemol_tpu.nn.vn import VNBatchNorm, _vn_leaky
+        C, O = self.in_channels, self.out_channels
+        w_feat = _VNKernel((2 * C, O), name="map_to_feat")()
+        w_dir = _VNKernel((2 * C, O), name="map_to_dir")()
+
+        def project(w):
+            a = jnp.einsum("bncd,co->bnod", x, w[:C],
+                           preferred_element_type=jnp.float32)
+            b = jnp.einsum("bncd,co->bnod", x, w[C:] - w[:C],
+                           preferred_element_type=jnp.float32)
+            a_j = jax.vmap(lambda ab, ib: ab[ib])(a, idx)   # (B,N,K,O,3)
+            return a_j + b[:, :, None]
+
+        p = project(w_feat)
+        p = VNBatchNorm(O, name="batchnorm")(
+            p, use_running_average=not train)
+        d = project(w_dir)
+        gated = _vn_leaky(p, d, self.negative_slope)
+        return jnp.mean(gated, axis=2)                      # pool K
+
+
 class VNDGCNNEncoder(nn.Module):
     """(B, N, 3) point cloud -> (B, latent, 3) equivariant latent."""
     hidden_dim: int
@@ -49,18 +100,18 @@ class VNDGCNNEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, points: Array, train: bool = False) -> Array:
+        from shapemol_tpu.nn.vn import knn_indices
         x = points[:, :, None, :]                                   # (B,N,1,3)
-        feat = get_graph_feature_cross(x, k=self.num_k)             # (B,N,K,2,3)
-        hidden = VNLinearLeakyReLU(2, self.hidden_dim, name="conv_pos")(
-            feat, use_running_average=not train)
-        hidden = mean_pool(hidden, axis=2)                          # pool K
+        idx = knn_indices(points, self.num_k)
+        hidden = DecomposedVNEdgeConv(1, self.hidden_dim,
+                                      name="conv_pos")(x, idx, train=train)
         hiddens = []
         for i in range(self.layer_num):
-            hf = get_graph_feature_cross(hidden, k=self.num_k)      # (B,N,K,2H,3)
-            h = VNLinearLeakyReLU(2 * self.hidden_dim, self.hidden_dim,
-                                  name=f"block_{i}")(
-                hf, use_running_average=not train)
-            hidden = mean_pool(h, axis=2)
+            B, N, C, _ = hidden.shape
+            idx = knn_indices(hidden.reshape(B, N, C * 3), self.num_k)
+            hidden = DecomposedVNEdgeConv(self.hidden_dim, self.hidden_dim,
+                                          name=f"block_{i}")(
+                hidden, idx, train=train)
             hiddens.append(hidden)
         cat = jnp.concatenate(hiddens, axis=-2)                     # (B,N,4H,3)
         latent = VNLinearLeakyReLU(self.layer_num * self.hidden_dim,
