@@ -79,6 +79,7 @@ def build_dataset(cfg, args, logger):
                                         "add_aromatic"),
             point_cloud_samples=cfg.data.get_path("shape.point_cloud_samples",
                                                   512),
+            keep_cloud=bool(getattr(args, "keep_cloud", False)),
             num_workers=args.num_workers)
     return PackDataset(pack_pattern)
 
@@ -143,6 +144,12 @@ def main():
                    help="checkpoint dir to resume from")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--keep_cloud", action="store_true",
+                   help="store the surface point clouds in the packs "
+                        "(needed for point-cloud guidance at sampling time)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of train iterations "
+                        "200-210 into <logdir>/profile")
     args = p.parse_args()
 
     cfg = load_config(args.config)
@@ -221,7 +228,13 @@ def main():
               "node_mask": jnp.asarray(batch["node_mask"]),
               "shape_emb": jnp.asarray(batch["shape_emb"])}
         rng, step_rng = jax.random.split(rng)
+        if args.profile and it == 200:
+            jax.profiler.start_trace(os.path.join(log_dir, "profile"))
         state, metrics = train_step(state, step_rng, jb)
+        if args.profile and it == 210:
+            jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
+            jax.profiler.stop_trace()
+            logger.info(f"profile trace saved to {log_dir}/profile")
         if it % 100 == 0 or it == start_it:
             logger.info(f"[train] it {it} loss {float(metrics['loss']):.4f} "
                         f"pos {float(metrics['loss_pos']):.4f} "
