@@ -270,8 +270,13 @@ def perceive_bond_orders(pos: np.ndarray, atomic_nums: np.ndarray,
         if flagged or geometric:
             ring_set = set(ring)
             for (i, j) in bonds:
-                if i in ring_set and j in ring_set:
+                if i in ring_set and j in ring_set \
+                        and orders[(i, j)] != AROMATIC:
                     orders[(i, j)] = AROMATIC
+                    # an aromatic bond consumes 0.5 extra valence on each
+                    # endpoint relative to the single bond already counted
+                    capacity[i] -= 0.5
+                    capacity[j] -= 0.5
 
     # distribute double/triple upgrades greedily by empirical windows,
     # shortest (most confident) bonds first
