@@ -14,6 +14,11 @@ the input (shard_index/num_shards)."""
 from __future__ import annotations
 
 import multiprocessing as mp
+
+# fork() after JAX initialization deadlocks (JAX is multithreaded);
+# spawn pays re-import cost but is safe - same choice the reference's
+# SubprocShapeAE makes (utils/subproc_shapeAE.py forkserver/spawn)
+_MP = mp.get_context("spawn")
 import os
 from typing import Callable, List, Optional, Sequence
 
@@ -101,7 +106,7 @@ def preprocess_molecules(mols: Sequence[Molecule], out_path: str,
         jobs = [(m, atom_mode, point_cloud_samples, seed + c0 + k)
                 for k, m in enumerate(chunk)]
         if num_workers > 1:
-            with mp.Pool(num_workers) as pool:
+            with _MP.Pool(num_workers) as pool:
                 prepped = list(pool.imap(_prep_one, jobs, chunksize=16))
         else:
             prepped = [_prep_one(j) for j in jobs]
@@ -166,7 +171,7 @@ def preprocess_shape_dataset(mols: Sequence[Molecule], out_path: str,
         jobs = [(m, point_cloud_samples, num_query, seed + c0 + k)
                 for k, m in enumerate(chunk)]
         if num_workers > 1:
-            with mp.Pool(num_workers) as pool:
+            with _MP.Pool(num_workers) as pool:
                 prepped = list(pool.imap(_prep_shape_one, jobs, chunksize=8))
         else:
             prepped = [_prep_shape_one(j) for j in jobs]

@@ -12,6 +12,11 @@ from __future__ import annotations
 
 import dataclasses
 import multiprocessing as mp
+
+# fork() after JAX initialization deadlocks (JAX is multithreaded);
+# spawn pays re-import cost but is safe - same choice the reference's
+# SubprocShapeAE makes (utils/subproc_shapeAE.py forkserver/spawn)
+_MP = mp.get_context("spawn")
 from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -168,7 +173,7 @@ def evaluate_generation(results: Dict[int, List[Tuple[np.ndarray, Sequence[int]]
         tids.append(tid)
     if jobs:
         if num_workers > 1:
-            with mp.Pool(num_workers) as pool:
+            with _MP.Pool(num_workers) as pool:
                 sims = list(pool.imap(_target_similarity, jobs))
         else:
             sims = [_target_similarity(j) for j in jobs]
