@@ -73,7 +73,12 @@ def write_pack(path: str, records: Sequence[MoleculeRecord],
 
 
 class PackDataset:
-    """Lazily-loaded collection of pack shards."""
+    """Collection of pack shards with per-key decompressed caching.
+
+    npz members are zip-compressed; indexing an NpzFile decompresses the
+    WHOLE member every time, which made per-item access dominate training.
+    Each (shard, key) array is decompressed once on first touch and kept as
+    a plain ndarray (the dense layout is the working set anyway)."""
 
     def __init__(self, pattern: str):
         self.paths = sorted(glob.glob(pattern)) if "*" in pattern \
@@ -81,15 +86,24 @@ class PackDataset:
         if not self.paths:
             raise FileNotFoundError(pattern)
         self._shards = [np.load(p, allow_pickle=False) for p in self.paths]
-        self._sizes = [s["pos"].shape[0] for s in self._shards]
+        self._cache: List[Dict[str, np.ndarray]] = [{} for _ in self._shards]
+        self._sizes = [self._arr(i, "pos").shape[0]
+                       for i in range(len(self._shards))]
         self._offsets = np.cumsum([0] + self._sizes)
+
+    def _arr(self, shard: int, key: str) -> np.ndarray:
+        cache = self._cache[shard]
+        if key not in cache:
+            cache[key] = np.asarray(self._shards[shard][key])
+        return cache[key]
 
     def __len__(self) -> int:
         return int(self._offsets[-1])
 
     @property
     def n_max(self) -> int:
-        return max(s["pos"].shape[1] for s in self._shards)
+        return max(self._arr(i, "pos").shape[1]
+                   for i in range(len(self._shards)))
 
     def keys(self) -> List[str]:
         return [k for k in self._shards[0].files if k != "smiles"]
@@ -97,13 +111,13 @@ class PackDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         shard = int(np.searchsorted(self._offsets, idx, side="right") - 1)
         local = idx - self._offsets[shard]
-        s = self._shards[shard]
-        return {k: s[k][local] for k in s.files if k != "smiles"}
+        return {k: self._arr(shard, k)[local] for k in self.keys()}
 
     def gather(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
         items = [self[int(i)] for i in indices]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     def num_atoms(self) -> np.ndarray:
-        return np.concatenate([s["node_mask"].sum(axis=1)
-                               for s in self._shards]).astype(np.int64)
+        return np.concatenate([self._arr(i, "node_mask").sum(axis=1)
+                               for i in range(len(self._shards))]
+                              ).astype(np.int64)
