@@ -24,6 +24,10 @@ Two variants:
 Replaces torch_scatter's scatter_softmax+scatter_sum pipeline (reference
 models/uni_transformer.py:77-80,147-151). Numerics match the XLA reference
 compositions (interpreter-mode tests in tests/test_kernels.py).
+
+NOTE: the denoiser now uses the larger fused kernel in edge_block.py (which
+subsumes these attention cores plus the edge MLP and geometry); these remain
+exported as standalone, individually-tested ops for custom models.
 """
 from __future__ import annotations
 
