@@ -24,6 +24,7 @@ from shapemol_tpu.chem.reconstruct import reconstruct_from_generated, MolReconsE
 
 
 def main():
+    misc.enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("result_dir")
     p.add_argument("--num_workers", type=int, default=0)

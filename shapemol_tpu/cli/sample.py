@@ -54,6 +54,7 @@ def load_diffusion_model(ckpt_dir: str, num_classes: int):
 
 
 def main():
+    misc.enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("config")
     p.add_argument("--ckpt", required=True)

@@ -31,6 +31,7 @@ from shapemol_tpu.cli.sample import load_diffusion_model
 
 
 def main():
+    misc.enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("config")
     p.add_argument("--ckpt", required=True)

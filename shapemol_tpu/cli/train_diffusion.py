@@ -131,6 +131,7 @@ def load_shape_encoder(ckpt_path: str, logger):
 
 
 def main():
+    misc.enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("config")
     p.add_argument("--logdir", default="./logs")

@@ -33,6 +33,7 @@ from shapemol_tpu.train.train_state import (create_train_state, get_scheduler,
 
 
 def main():
+    misc.enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("config")
     p.add_argument("--logdir", default="./logs")

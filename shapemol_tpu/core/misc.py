@@ -68,3 +68,19 @@ def count_parameters(params) -> int:
     import jax
     return sum(int(np.prod(p.shape))
                for p in jax.tree_util.tree_leaves(params))
+
+
+def enable_compilation_cache(path: str = "~/.cache/shapemol_tpu_xla") -> None:
+    """Persistent XLA compilation cache: repeat CLI invocations (e.g. one
+    sample job per --data_id) skip the multi-minute remote compile."""
+    import os
+
+    import jax
+
+    cache_dir = os.path.expanduser(path)
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass            # older jax without the knobs

@@ -91,6 +91,39 @@ class ShapeDiffusionNet(nn.Module):
             v = nn.Dense(cfg.hidden_dim, name="v_inf_0")(h_final)
             v = shifted_softplus(v)
             v_logits = nn.Dense(K, name="v_inf_1")(v)
+        elif cfg.v_net_type == "attention":
+            # Attention read-out head (reference molopt_score_model.py:
+            # 267-280 constructs vk/vv/vq + a 2*hidden head but its forward
+            # never wires them — another dead path; implemented working
+            # here): one more masked edge-attention pass over the FINAL
+            # geometry, context concatenated with h before the classifier.
+            from shapemol_tpu.kernels.edge_attention import x2h_attention
+            from shapemol_tpu.nn.basic import MLP, GaussianSmearing
+            from shapemol_tpu.ops.knn import masked_knn, gather_neighbors
+            dcfg = cfg.denoiser
+            idx, nbr_mask = masked_knn(x_final, node_mask, dcfg.knn)
+            nbr_x = gather_neighbors(x_final, idx)
+            dist = jnp.linalg.norm(x_final[:, :, None, :] - nbr_x + 1e-12,
+                                   axis=-1)
+            rbf = GaussianSmearing(0.0, 10.0,
+                                   num_gaussians=dcfg.num_r_gaussian,
+                                   name="v_distance_expansion")(dist)
+            hi = jnp.broadcast_to(h_final[:, :, None, :],
+                                  (*idx.shape, cfg.hidden_dim))
+            hj = gather_neighbors(h_final, idx)
+            kv_in = jnp.concatenate([rbf, hi, hj], axis=-1)
+            k_att = MLP(cfg.hidden_dim, cfg.hidden_dim, name="vk_func")(kv_in)
+            v_att = MLP(cfg.hidden_dim, cfg.hidden_dim, name="vv_func")(kv_in)
+            q_att = MLP(cfg.hidden_dim, cfg.hidden_dim,
+                        name="vq_func")(h_final)
+            e_w1 = jnp.ones((*idx.shape, 1), h_final.dtype)
+            ctx = x2h_attention(q_att, k_att, v_att, e_w1, nbr_mask,
+                                n_heads=16,
+                                use_pallas=dcfg.use_pallas_attention)
+            v = nn.Dense(cfg.hidden_dim, name="v_inf_0")(
+                jnp.concatenate([ctx, h_final], axis=-1))
+            v = shifted_softplus(v)
+            v_logits = nn.Dense(K, name="v_inf_1")(v)
         else:
             raise NotImplementedError(cfg.v_net_type)
 

@@ -159,3 +159,19 @@ def test_variational_bound_terms():
     kv = kl_v_prior(sched, log_v0, mask)
     # at T the chain is near-uniform: tiny prior KL
     assert (np.asarray(kv) < 0.05).all()
+
+
+def test_attention_v_head():
+    """v_net_type='attention': an extra masked edge-attention read-out over
+    the final geometry (the reference constructs but never wires this head —
+    implemented working here)."""
+    cfg2 = dataclasses.replace(CFG, v_net_type="attention")
+    net = ShapeDiffusionNet(cfg2)
+    pos, v, mask, shape = _batch(8)
+    t = jnp.array([5, 15])
+    variables = net.init(jax.random.PRNGKey(0), pos, v, mask, shape, t)
+    preds = net.apply(variables, pos, v, mask, shape, t)
+    assert preds["pred_ligand_v"].shape == (*v.shape, 15)
+    assert np.all(np.isfinite(np.asarray(preds["pred_ligand_v"])))
+    # head params exist
+    assert "vk_func" in variables["params"]
