@@ -78,6 +78,9 @@ class DenoiserConfig:
     atom_enc_mode: str = "add_aromatic"
     dtype: str = "float32"              # compute dtype for the hot MLPs
     use_pallas_attention: bool = True   # fused VMEM attention core on TPU
+    fuse_layer: bool = True             # whole-layer mega-kernel (applies
+                                        # when num_x2h == num_h2x == 1 and
+                                        # topology conditioning is off)
 
 
 def masked_softmax_k(logits: Array, nbr_mask: Array) -> Array:
@@ -262,6 +265,83 @@ class TopoLayer(nn.Module):
         return out.astype(jnp.float32)
 
 
+class _EdgeParamHolder(nn.Module):
+    """Scopes one fused edge-block parameter set under this module's name."""
+    d_in: int
+    hidden: int
+    r_dim: int
+    out_v: int
+
+    @nn.compact
+    def __call__(self):
+        return _make_edge_params(self, self.d_in, self.hidden, self.r_dim,
+                                 self.out_v)
+
+
+class _MLPParamHolder(nn.Module):
+    """Raw params of a 2-layer MLP (dense -> LN -> relu -> dense), layout
+    consumed by kernels/fused_layer.py."""
+    d_in: int
+    hidden: int
+    d_out: int
+
+    @nn.compact
+    def __call__(self):
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        ones = nn.initializers.ones
+        return {
+            "w0": self.param("w0", lecun, (self.d_in, self.hidden)),
+            "b0": self.param("b0", zeros, (self.hidden,)),
+            "ln_s": self.param("ln_s", ones, (self.hidden,)),
+            "ln_b": self.param("ln_b", zeros, (self.hidden,)),
+            "w1": self.param("w1", lecun, (self.hidden, self.d_out)),
+            "b1": self.param("b1", zeros, (self.d_out,)),
+        }
+
+
+class FusedAttentionLayer(nn.Module):
+    """Whole-layer path: x2h attention + node MLP + residual + h2x attention
+    in ONE Pallas kernel (kernels/fused_layer.py); only the VN shape
+    residual of the position update runs outside."""
+    cfg: DenoiserConfig
+
+    @nn.compact
+    def __call__(self, h, x, idx, nbr_mask, invar_shape, shape_emb, e_w,
+                 node_mask, train: bool):
+        cfg = self.cfg
+        heads, hd = cfg.n_heads, cfg.hidden_dim
+        B, N = h.shape[:2]
+        d_dst = hd + invar_shape.shape[-1]
+        params = {
+            "hq": _MLPParamHolder(hd, hd, hd, name="hq_func")(),
+            "x2h": _EdgeParamHolder(d_dst, hd, cfg.num_r_gaussian, hd,
+                                    name="x2h_0")(),
+            "node_output": _MLPParamHolder(2 * hd, hd, hd,
+                                           name="node_output")(),
+            "xq": _MLPParamHolder(hd, hd, hd, name="xq_func")(),
+            "h2x": _EdgeParamHolder(d_dst, hd, cfg.num_r_gaussian, heads,
+                                    name="h2x_0")(),
+        }
+        from shapemol_tpu.kernels.fused_layer import fused_layer
+        h_new, msg = fused_layer(params, x, h, invar_shape, idx, e_w,
+                                 nbr_mask, heads,
+                                 num_rbf=cfg.num_r_gaussian, r_max=cfg.r_max,
+                                 mm_dtype=cfg.dtype,
+                                 use_pallas=cfg.use_pallas_attention)
+
+        # attention_residue: VN mix of (x, messages, shape latent)
+        shp = jnp.broadcast_to(shape_emb[:, None, :, :],
+                               (B, N, shape_emb.shape[-2], 3))
+        tmp = jnp.concatenate([x[:, :, None, :], msg, shp], axis=-2)
+        res = VNLinearLeakyReLU(heads + cfg.shape_dim + 1, heads,
+                                name="shape_linear")(
+            tmp, mask=node_mask, use_running_average=not train)
+        delta = jnp.mean(msg, axis=-2) + jnp.mean(res, axis=-2)
+        x = x + delta * node_mask[..., None].astype(x.dtype)
+        return h_new, x
+
+
 class AttentionBlockLayer(nn.Module):
     """One x2h + h2x layer pair with per-layer distance re-expansion
     (reference AttentionLayerO2TwoUpdateNodeGeneral.forward)."""
@@ -276,6 +356,11 @@ class AttentionBlockLayer(nn.Module):
         # each layer recomputes rel_x from the current x exactly like the
         # reference (uni_transformer.py:301,328)
         cfg = self.cfg
+        if (cfg.fuse_layer and cfg.num_x2h == 1 and cfg.num_h2x == 1
+                and topo is None and not cfg.sync_twoup):
+            return FusedAttentionLayer(cfg, name="fused")(
+                h, x, idx, nbr_mask, invar_shape, shape_emb, e_w,
+                node_mask, train)
         h_in = h
         for i in range(cfg.num_x2h):
             h_in = X2HAttLayer(cfg, name=f"x2h_{i}")(

@@ -131,3 +131,57 @@ def test_edge_block_pallas_matches_xla_interpret():
                                heads, "x2h", num_rbf=R, interpret=True)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
                                atol=2e-4)
+
+
+def test_fused_layer_pallas_matches_xla_interpret():
+    from shapemol_tpu.kernels.fused_layer import (fused_layer_pallas,
+                                                  fused_layer_xla)
+    rng = np.random.default_rng(6)
+    B, N, K, H, heads, S, R = 2, 8, 4, 32, 4, 8, 20
+
+    def mlp_p(d_in, d_out):
+        return {"w0": jnp.asarray(rng.standard_normal((d_in, H)) * 0.1,
+                                  jnp.float32),
+                "b0": jnp.zeros(H), "ln_s": jnp.ones(H),
+                "ln_b": jnp.zeros(H),
+                "w1": jnp.asarray(rng.standard_normal((H, d_out)) * 0.1,
+                                  jnp.float32),
+                "b1": jnp.zeros(d_out)}
+
+    def edge_p(out_v):
+        D = H + S
+        return {
+            "w_dst": jnp.asarray(rng.standard_normal((D, 2 * H)) * 0.1,
+                                 jnp.float32),
+            "b_dst": jnp.zeros(2 * H),
+            "w_src": jnp.asarray(rng.standard_normal((H, 2 * H)) * 0.1,
+                                 jnp.float32),
+            "w_rbf": jnp.asarray(rng.standard_normal((R, 2 * H)) * 0.1,
+                                 jnp.float32),
+            "ln_k_scale": jnp.ones(H), "ln_k_bias": jnp.zeros(H),
+            "ln_v_scale": jnp.ones(H), "ln_v_bias": jnp.zeros(H),
+            "w_out_k": jnp.asarray(rng.standard_normal((H, H)) * 0.1,
+                                   jnp.float32),
+            "b_out_k": jnp.zeros(H),
+            "w_out_v": jnp.asarray(rng.standard_normal((H, out_v)) * 0.1,
+                                   jnp.float32),
+            "b_out_v": jnp.zeros(out_v)}
+
+    params = {"hq": mlp_p(H, H), "x2h": edge_p(H),
+              "node_output": mlp_p(2 * H, H), "xq": mlp_p(H, H),
+              "h2x": edge_p(heads)}
+    x = jnp.asarray(rng.standard_normal((B, N, 3)) * 2, jnp.float32)
+    h = jnp.asarray(rng.standard_normal((B, N, H)), jnp.float32)
+    invar = jnp.asarray(rng.standard_normal((B, N, S)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, N, K)), jnp.int32)
+    e_w = jnp.asarray(rng.random((B, N, K, 1)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, N, K)) < 0.8)
+
+    h_xla, m_xla = fused_layer_xla(params, x, h, invar, idx, e_w, mask,
+                                   heads, num_rbf=R)
+    h_pl, m_pl = fused_layer_pallas(params, x, h, invar, idx, e_w, mask,
+                                    heads, num_rbf=R, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_xla),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(m_pl), np.asarray(m_xla),
+                               atol=3e-4)
