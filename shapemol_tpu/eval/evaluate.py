@@ -68,7 +68,9 @@ def _target_similarity(args) -> Dict:
     samples = [Molecule(*p) for p in sample_payload]
     out: Dict = {}
     if len(samples) >= 2:
-        out["pairwise_diversity"] = sim.average_pairwise_diversity(samples)
+        # mean off-diagonal pairwise Tanimoto of this target's COMPLETE
+        # samples (reference avg_pairwise_sims, evaluate_diffusion_sim.py:202)
+        out["avg_pairwise_sims"] = sim.average_pairwise_diversity(samples)
     if ref_payload is not None:
         ref = Molecule(*ref_payload)
         tans = [sim.tanimoto_sim(s, ref) for s in samples]
@@ -76,7 +78,6 @@ def _target_similarity(args) -> Dict:
         out["ref_tanimoto_max"] = float(np.max(tans)) if tans else None
         rocs = [sim.aligned_rocs(ref.pos, s.pos) for s in samples]
         out["rocs_mean"] = float(np.mean(rocs)) if rocs else None
-        out["rocs_std"] = float(np.std(rocs)) if rocs else None
         out["rocs_max"] = float(np.max(rocs)) if rocs else None
         esp = []
         for s in samples:
@@ -100,13 +101,24 @@ def evaluate_generation(results: Dict[int, List[Tuple[np.ndarray, Sequence[int]]
     """results: {target_id: [(pos, v_indices), ...]}.
 
     Returns the aggregate metrics dict (reference fields:
-    evaluate_diffusion_sim.py:196-257)."""
+    evaluate_diffusion_sim.py:196-257).
+
+    Population semantics follow the reference exactly
+    (evaluate_diffusion_sim.py:134-173):
+      * atom-type counter and pair distances accumulate over ALL samples
+        (lines 140, 147-148); success-only variants over complete molecules
+        (lines 172-173, 236-242) are reported as ``success_*``;
+      * only COMPLETE molecules ('.'-free SMILES) enter ``all_smiles``, the
+        bond-length profile, the chem scores, and the per-target similarity
+        pools (lines 162-181);
+      * uniqueness divides by n_complete (line 201)."""
     n_samples = n_stable_mol = n_recon = n_complete = 0
     n_atoms_total = n_stable_atoms = 0
     all_smiles: List[str] = []
-    recon_mols: List[Molecule] = []
-    bond_data, pair_data = [], []
+    complete_mols: List[Molecule] = []
+    bond_data, pair_data, success_pair_data = [], [], []
     atom_counter: Counter = Counter()
+    success_atom_counter: Counter = Counter()
     qed_list, sa_list, logp_list, lipinski_list = [], [], [], []
     per_target_samples: Dict[int, List[Molecule]] = {}
 
@@ -119,17 +131,22 @@ def evaluate_generation(results: Dict[int, List[Tuple[np.ndarray, Sequence[int]]
             n_atoms_total += r.n_atoms
             n_stable_atoms += r.n_stable_atoms
             atomic_nums = vocab.get_atomic_numbers(v_idx, atom_mode)
-            pair_data.extend(eval_bond.pair_distances_from_pos(
-                np.asarray(pos), atomic_nums))
+            atom_counter.update(int(z) for z in atomic_nums)
+            pair = eval_bond.pair_distances_from_pos(
+                np.asarray(pos), atomic_nums)
+            pair_data.extend(pair)
             if r.mol is None:
                 continue
             n_recon += 1
-            n_complete += int(r.complete)
+            if not r.complete:
+                continue  # reference: 'continue' on '.'-SMILES (line 162-163)
+            n_complete += 1
             all_smiles.append(r.smiles)
-            recon_mols.append(r.mol)
+            complete_mols.append(r.mol)
             per_target_samples[tid].append(r.mol)
             bond_data.extend(eval_bond.bond_distances_from_mol(r.mol))
-            atom_counter.update(int(z) for z in r.mol.atomic_nums)
+            success_pair_data.extend(pair)
+            success_atom_counter.update(int(z) for z in atomic_nums)
             chem = scoring.get_chem(r.mol)
             qed_list.append(chem["qed"])
             sa_list.append(chem["sa"])
@@ -142,24 +159,33 @@ def evaluate_generation(results: Dict[int, List[Tuple[np.ndarray, Sequence[int]]
         "atm_stable": n_stable_atoms / max(n_atoms_total, 1),
         "recon_success": n_recon / max(n_samples, 1),
         "complete": n_complete / max(n_samples, 1),
-        "uniq_over_complete": (len(set(all_smiles)) / len(all_smiles)
-                               if all_smiles else None),
+        "uniq_over_complete": (len(set(all_smiles)) / n_complete
+                               if n_complete else None),
         "atom_type_jsd": eval_atom.eval_atom_type_distribution(atom_counter),
+        "success_atom_type_jsd": eval_atom.eval_atom_type_distribution(
+            success_atom_counter),
         "qed_mean": float(np.mean(qed_list)) if qed_list else None,
         "sa_mean": float(np.mean(sa_list)) if sa_list else None,
         "logp_mean": float(np.mean(logp_list)) if logp_list else None,
         "lipinski_mean": (float(np.mean(lipinski_list))
                           if lipinski_list else None),
-        "ring_size_ratio": scoring.ring_size_counts(recon_mols),
+        "ring_size_ratio": scoring.ring_size_counts(complete_mols),
     }
 
-    # distribution JSDs when empirical reference profiles are available
+    # distribution JSDs when empirical reference profiles are available:
+    # bond JSD over complete mols (ref:223-226), pair JSD over all samples
+    # (ref:228-231) plus the complete-only variant (ref:236-239)
     if empirical_profiles is not None:
         bond_ref, pair_ref = empirical_profiles
         metrics.update(eval_bond.eval_bond_length_profile(
             eval_bond.get_bond_length_profile(bond_data), bond_ref))
         metrics.update(eval_bond.eval_pair_length_profile(
             eval_bond.get_pair_length_profile(pair_data), pair_ref))
+        metrics.update({
+            "success_" + k: v
+            for k, v in eval_bond.eval_pair_length_profile(
+                eval_bond.get_pair_length_profile(success_pair_data),
+                pair_ref).items()})
 
     # per-target similarity (process pool like the reference's Pool.imap)
     jobs = []
@@ -179,9 +205,15 @@ def evaluate_generation(results: Dict[int, List[Tuple[np.ndarray, Sequence[int]]
             sims = [_target_similarity(j) for j in jobs]
         per_target = dict(zip(tids, sims))
         metrics["per_target"] = per_target
-        for key in ("pairwise_diversity", "ref_tanimoto_avg",
+        for key in ("avg_pairwise_sims", "ref_tanimoto_avg",
                     "ref_tanimoto_max", "rocs_mean", "rocs_max",
                     "esp_sim_mean"):
             vals = [s[key] for s in sims if s.get(key) is not None]
             metrics[key] = float(np.mean(vals)) if vals else None
+        # reference rocs std is over the per-target MEANS
+        # (evaluate_diffusion_sim.py:204-206), not within-target
+        rocs_means = [s["rocs_mean"] for s in sims
+                      if s.get("rocs_mean") is not None]
+        metrics["rocs_std"] = (float(np.std(rocs_means))
+                               if rocs_means else None)
     return metrics

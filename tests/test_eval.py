@@ -193,3 +193,44 @@ def test_alignment_degenerate_inputs():
         aligned, t = sim.align_by_overlap(a, b)
         assert aligned.shape == (n, 3)
         assert 0 <= t <= 1
+
+
+def test_evaluate_population_semantics_match_reference():
+    """VERDICT r1 item 2: feed a mix of failed / incomplete / complete
+    samples and assert the reference's population arithmetic
+    (evaluate_diffusion_sim.py:134-173,196-242):
+      - uniqueness divides by n_complete,
+      - all-sample vs success-only atom-type pools differ,
+      - bond profile and chem scores come from complete mols only."""
+    benz, eth = benzene(), ethanol()
+    v_benz = [2] * 6                     # aromatic carbons
+    v_eth = [1, 1, 5]                    # C, C, O
+
+    # incomplete: two fluorines 8 A apart -> two fragments -> '.' in SMILES
+    pos_frag = np.array([[0.0, 0, 0], [8.0, 0, 0]])
+    v_frag = [6, 6]                      # F, F in add_aromatic vocab
+    r_frag = process_sample(pos_frag, v_frag)
+    assert r_frag.mol is not None and not r_frag.complete
+
+    # failed: octahedral hypervalent carbon cluster -> MolReconsError
+    pos_fail = np.concatenate([np.zeros((1, 3)),
+                               1.4 * np.eye(3), -1.4 * np.eye(3)])
+    v_fail = [1] * 7
+    r_fail = process_sample(pos_fail, v_fail)
+    assert r_fail.mol is None
+
+    results = {0: [(benz.pos, v_benz), (eth.pos, v_eth),
+                   (pos_frag, v_frag), (pos_fail, v_fail)]}
+    m = evaluate_generation(results, {0: benz})
+    assert m["n_samples"] == 4
+    assert m["recon_success"] == pytest.approx(3 / 4)
+    assert m["complete"] == pytest.approx(2 / 4)
+    # 2 unique SMILES over n_complete=2 (reference line 201)
+    assert m["uniq_over_complete"] == pytest.approx(1.0)
+    # all-sample atom pool contains F (incomplete) + the failed carbons;
+    # the success pool does not -> the two JSDs must differ
+    assert m["atom_type_jsd"] != m["success_atom_type_jsd"]
+    # chem scores from the 2 complete mols only
+    assert m["qed_mean"] is not None and m["lipinski_mean"] is not None
+    # ring ratio over complete mols: 1 of 2 has a 6-ring
+    assert m["ring_size_ratio"][6] == pytest.approx(0.5)
