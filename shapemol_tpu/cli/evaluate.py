@@ -30,7 +30,15 @@ def main():
     p.add_argument("--num_workers", type=int, default=0)
     p.add_argument("--profiles", default=None,
                    help="empirical_profiles.json from "
-                        "eval.bond_length.save_profiles")
+                        "eval.bond_length.save_profiles (default: the "
+                        "shipped real-MOSES2 profiles)")
+    p.add_argument("--testset", default=None,
+                   help="pickled RDKit molecules to use as references "
+                        "(e.g. the reference's MOSES2_test_mol.pkl)")
+    p.add_argument("--index_map", default=None,
+                   help="data_id -> test-set index join table "
+                        "(the reference's data/index_map.txt; "
+                        "evaluate_diffusion_sim.py:101-106)")
     p.add_argument("--out", default=None)
     p.add_argument("--max_targets", type=int, default=None)
     args = p.parse_args()
@@ -42,6 +50,19 @@ def main():
     if not files:
         raise SystemExit(f"no result_*.npz under {args.result_dir}")
     logger.info(f"found {len(files)} result files")
+
+    # references: real test-set molecules via the index_map join when given
+    # (the reference's own protocol), else reconstructed from the sampler's
+    # stored reference arrays
+    test_mols = index_map = None
+    if args.testset:
+        from shapemol_tpu.compat.rdkit_unpickle import (load_index_map,
+                                                        load_rdkit_mol_pickle)
+        test_mols = load_rdkit_mol_pickle(args.testset)
+        index_map = (load_index_map(args.index_map) if args.index_map
+                     else {k: k for k in range(len(test_mols))})
+        logger.info(f"references: {len(test_mols)} test molecules "
+                    f"(index_map join)")
 
     results = {}
     references = {}
@@ -55,6 +76,9 @@ def main():
             m = data["node_mask"][k]
             samples.append((data["pos"][k][m], data["v"][k][m].tolist()))
         results[tid] = samples
+        if test_mols is not None:
+            references[tid] = test_mols[index_map[tid]]
+            continue
         rm = data["ref_node_mask"]
         ref_v = data["ref_v"][rm].tolist()
         ref_z = vocab.get_atomic_numbers(ref_v, atom_mode)
@@ -65,8 +89,17 @@ def main():
         except MolReconsError:
             pass
 
-    profiles = (eval_bond.load_profiles(args.profiles)
-                if args.profiles else None)
+    prof_path = args.profiles
+    if prof_path is None:
+        # shipped default: empirical profiles built from the real MOSES2
+        # test molecules (cli/ingest_reference.py provenance note) —
+        # replaces the reference's frozen eval_bond_length_config.py
+        shipped = os.path.join(os.path.dirname(__file__), "..", "eval",
+                               "profiles", "moses2.json")
+        prof_path = shipped if os.path.exists(shipped) else None
+    profiles = eval_bond.load_profiles(prof_path) if prof_path else None
+    if prof_path:
+        logger.info(f"JSD profiles: {prof_path}")
     metrics = evaluate_generation(results, references, atom_mode,
                                   empirical_profiles=profiles,
                                   num_workers=args.num_workers)

@@ -83,9 +83,10 @@ def main():
     net, model_cfg, variables, _tc = load_diffusion_model(args.ckpt,
                                                           num_classes)
 
-    pack_pattern = args.test_pack or os.path.join(
-        cfg.data.get("processed_path", "./processed_data"),
-        f"shapemol_{cfg.data.get('version', 'v1')}.*.npz")
+    pack_pattern = args.test_pack or cfg.data.get("pack_pattern") \
+        or os.path.join(
+            cfg.data.get("processed_path", "./processed_data"),
+            f"shapemol_{cfg.data.get('version', 'v1')}.*.npz")
     test_set = PackDataset(pack_pattern)
     datum = test_set[args.data_id]
     logger.info(f"target {args.data_id}: "

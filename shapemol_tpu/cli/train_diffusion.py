@@ -52,13 +52,18 @@ def atom_type_auroc(pred_logits, true_v, node_mask, num_classes):
 
 
 def build_dataset(cfg, args, logger):
-    pack_pattern = os.path.join(
+    pack_pattern = cfg.data.get("pack_pattern") or os.path.join(
         cfg.data.get("processed_path", "./processed_data"),
         f"shapemol_{cfg.data.get('version', 'v1')}.*.npz")
     if not glob.glob(pack_pattern):
         if args.synthetic:
             from shapemol_tpu.data.synthetic import random_dataset
             mols = random_dataset(args.synthetic, seed=2021)
+        elif str(cfg.data.path).endswith(".pkl"):
+            # pickled RDKit molecules (the reference's dataset format) via
+            # the torch-free binary-Mol reader
+            from shapemol_tpu.compat.rdkit_unpickle import load_rdkit_mol_pickle
+            mols = load_rdkit_mol_pickle(cfg.data.path)
         else:
             from shapemol_tpu.chem.sdf import read_sdf
             mols = read_sdf(cfg.data.path)

@@ -48,6 +48,8 @@ def main():
 
     cfg = load_config(args.config)
     misc.seed_all(cfg.train.seed)
+    if cfg.model.get("model_type", "pointAE") in ("voxelAE", "IM_AE"):
+        return train_voxel_ae(cfg, args)
     log_dir = misc.get_new_log_dir(args.logdir, prefix="shape_ae",
                                    tag=args.tag)
     logger = misc.get_logger("train_shape_ae", log_dir)
@@ -141,6 +143,110 @@ def main():
                 path = save_checkpoint(os.path.join(log_dir, "checkpoints"),
                                        it, state,
                                        config=dict(cfg),
+                                       scheduler_state=vars(sched))
+                logger.info(f"[ckpt] best val {best_val:.6f} -> {path}")
+    logger.info("done")
+
+
+def train_voxel_ae(cfg, args):
+    """Voxel-AE training branch (reference: scripts/train_shapeAE.py with an
+    IM_AE model config + shape_type 'voxel' data — models/shape_modelAE.py,
+    datasets/shape_data.py:121-122,189-202)."""
+    from shapemol_tpu.data.preprocess import (preprocess_voxel_dataset,
+                                              VoxelPackDataset)
+    from shapemol_tpu.models.voxel_ae import VoxelAE, VoxelAEConfig
+    from shapemol_tpu.train.loops import (make_voxel_ae_train_step,
+                                          make_voxel_ae_eval_step)
+
+    log_dir = misc.get_new_log_dir(args.logdir, prefix="voxel_ae",
+                                   tag=args.tag)
+    logger = misc.get_logger("train_voxel_ae", log_dir)
+    logger.info(f"devices: {jax.devices()}")
+
+    pack_pattern = os.path.join(
+        cfg.data.get("processed_path", "./processed_data"),
+        f"voxel_{cfg.data.get('version', 'v1')}.*.npz")
+    if not glob.glob(pack_pattern):
+        if args.synthetic:
+            from shapemol_tpu.data.synthetic import random_dataset
+            mols = random_dataset(args.synthetic, seed=cfg.train.seed)
+        elif str(cfg.data.get("path", "")).endswith(".pkl"):
+            from shapemol_tpu.compat.rdkit_unpickle import load_rdkit_mol_pickle
+            mols = load_rdkit_mol_pickle(cfg.data.path)
+        else:
+            from shapemol_tpu.chem.sdf import read_sdf
+            mols = read_sdf(cfg.data.path)
+        logger.info(f"voxelizing {len(mols)} molecules -> packs")
+        preprocess_voxel_dataset(
+            mols, pack_pattern.replace(".*.npz", ""),
+            grid_resolution=cfg.data.get("grid_resolution", 0.5),
+            max_dist=cfg.data.get("max_dist", 11.0),
+            num_workers=args.num_workers)
+    dataset = VoxelPackDataset(pack_pattern)
+    n = len(dataset)
+    n_val = max(min(n // 10, 256), 1)
+    val_idx = np.arange(n - n_val, n)
+    train_idx = np.arange(n - n_val)
+    logger.info(f"dataset: {n} voxel grids (G={dataset.grid_size}; "
+                f"{len(train_idx)} train/{n_val} val)")
+
+    mcfg = VoxelAEConfig(ef_dim=cfg.model.get("ef_dim", 32),
+                         gf_dim=cfg.model.get("gf_dim", 128),
+                         z_dim=cfg.model.get("z_dim", 128))
+    model = VoxelAE(mcfg)
+    bs = cfg.train.batch_size
+    nq = cfg.data.get("num_samples", 1024)
+    rng_np = np.random.default_rng(cfg.train.seed)
+    example = dataset.batch(train_idx[:min(bs, len(train_idx))],
+                            num_samples=nq, rng=rng_np)
+    variables = model.init(jax.random.PRNGKey(cfg.train.seed),
+                           jnp.asarray(example["voxel"]),
+                           jnp.asarray(example["points"]))
+    logger.info(f"params: {misc.count_parameters(variables['params']):,}")
+
+    tx = make_optimizer(lr=cfg.train.optimizer.lr,
+                        beta1=cfg.train.optimizer.get("beta1", 0.95),
+                        beta2=cfg.train.optimizer.get("beta2", 0.999),
+                        weight_decay=cfg.train.optimizer.get("weight_decay", 0),
+                        max_grad_norm=cfg.train.get("max_grad_norm", 8.0))
+    state = create_train_state(variables["params"], None, tx)
+    sched = get_scheduler(cfg.train.scheduler.type,
+                          **{k: v for k, v in cfg.train.scheduler.items()
+                             if k != "type"})
+    train_step = make_voxel_ae_train_step(model, tx)
+    eval_step = make_voxel_ae_eval_step(model)
+
+    max_iters = args.max_iters or cfg.train.max_iters
+    val_freq = args.val_freq or cfg.train.val_freq
+    best_val = float("inf")
+    for it in range(1, max_iters + 1):
+        idxs = rng_np.choice(train_idx, size=bs,
+                             replace=len(train_idx) < bs)
+        batch = dataset.batch(idxs, num_samples=nq, rng=rng_np)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = train_step(state, batch)
+        if it % 100 == 0 or it == 1:
+            logger.info(f"[train] it {it} loss {float(metrics['loss']):.6f} "
+                        f"lr {get_learning_rate(state):.2e}")
+        if it % val_freq == 0 or it == max_iters:
+            losses, accs, recs = [], [], []
+            for v0 in range(0, len(val_idx), bs):
+                vb = dataset.batch(val_idx[v0:v0 + bs], num_samples=nq,
+                                   rng=rng_np)
+                loss, acc, rec = eval_step(
+                    state, {k: jnp.asarray(v) for k, v in vb.items()})
+                losses.append(float(loss))
+                accs.append(float(acc))
+                recs.append(float(rec))
+            val_loss = float(np.mean(losses))
+            logger.info(f"[val] it {it} loss {val_loss:.6f} "
+                        f"acc {np.mean(accs):.4f} recall {np.mean(recs):.4f}")
+            new_lr = sched.step(val_loss, get_learning_rate(state))
+            state = set_learning_rate(state, new_lr)
+            if val_loss < best_val:
+                best_val = val_loss
+                path = save_checkpoint(os.path.join(log_dir, "checkpoints"),
+                                       it, state, config=dict(cfg),
                                        scheduler_state=vars(sched))
                 logger.info(f"[ckpt] best val {best_val:.6f} -> {path}")
     logger.info("done")

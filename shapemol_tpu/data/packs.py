@@ -46,8 +46,10 @@ def write_pack(path: str, records: Sequence[MoleculeRecord],
     has_bounds = records[0].bounds is not None
     has_cloud = records[0].cloud is not None
     if has_shape:
-        S = records[0].shape_emb.shape[0]
-        arrays["shape_emb"] = np.zeros((M, S, 3), np.float32)
+        # (S, 3) vector latents from the point AE, or (z_dim,) invariant
+        # latents from the voxel AE — stored verbatim
+        arrays["shape_emb"] = np.zeros(
+            (M,) + tuple(records[0].shape_emb.shape), np.float32)
     if has_bounds:
         arrays["bounds"] = np.zeros((M, 3, 2), np.float32)
     if has_cloud:

@@ -91,11 +91,15 @@ def preprocess_molecules(mols: Sequence[Molecule], out_path: str,
                          n_max: int = 64,
                          shard_index: int = 0,
                          num_shards: int = 1,
-                         seed: int = 0) -> List[str]:
+                         seed: int = 0,
+                         shape_mode: str = "pointAE") -> List[str]:
     """Full stage-2 preprocessing. Returns the list of written pack paths.
 
-    encoder_fn: jitted (B, P, 3) -> (B, S, 3) stage-1 encoder; when None the
-    shape_emb field is omitted (featurize-only mode)."""
+    encoder_fn: jitted stage-1 encoder — (B, P, 3) clouds -> (B, S, 3) for
+    shape_mode='pointAE', or (B, G, G, G, 1) occupancy grids -> (B, z_dim)
+    for shape_mode='voxelAE' (the reference's get_shape_func 'voxelAE_shape'
+    branch, datasets/shape_mol_dataset.py:153-165). When None the shape_emb
+    field is omitted (featurize-only mode)."""
     mols = list(mols)[shard_index::num_shards]
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     paths: List[str] = []
@@ -118,9 +122,19 @@ def preprocess_molecules(mols: Sequence[Molecule], out_path: str,
 
         latents = None
         if encoder_fn is not None:
-            clouds = np.stack([g[2] for g in good])
-            latents = _batched_encode(encoder_fn, clouds,
-                                      encode_batch_size)
+            if shape_mode == "voxelAE":
+                from shapemol_tpu.geom.voxel import get_voxel_shape
+                from shapemol_tpu.chem import vocab as _vocab
+                voxels = np.stack([
+                    get_voxel_shape(_vocab.get_atomic_numbers(
+                        g[1].tolist(), atom_mode), g[0])[..., None]
+                    for g in good])
+                latents = _batched_encode(encoder_fn, voxels,
+                                          encode_batch_size)
+            else:
+                clouds = np.stack([g[2] for g in good])
+                latents = _batched_encode(encoder_fn, clouds,
+                                          encode_batch_size)
 
         records = []
         for k, (pos, v, cloud, bounds, smi) in enumerate(good):
@@ -221,3 +235,88 @@ class ShapePackDataset:
             out["query_points"] = out["query_points"][:, sel]
             out["values"] = out["values"][:, sel]
         return out
+
+
+# ---------------------------------------------------------------------------
+# Voxel shape-AE dataset (reference: shape_type 'voxel' in
+# datasets/shape_data.py:121-122,189-202 feeding IM_AE)
+# ---------------------------------------------------------------------------
+
+
+def _prep_voxel_one(args):
+    mol, grid_resolution, max_dist = args
+    try:
+        from shapemol_tpu.geom.voxel import get_voxel_shape
+        pos = mol.pos - mol.pos.mean(axis=0)
+        vox = get_voxel_shape(mol.atomic_nums, pos, grid_resolution,
+                              max_dist)
+        return vox.astype(np.uint8)
+    except Exception:
+        return None
+
+
+def preprocess_voxel_dataset(mols: Sequence[Molecule], out_path: str,
+                             grid_resolution: float = 0.5,
+                             max_dist: float = 11.0,
+                             chunk_size: int = 512,
+                             num_workers: int = 0,
+                             shard_index: int = 0, num_shards: int = 1
+                             ) -> List[str]:
+    """Voxel-AE dataset: binary occupancy grids, stored as packed uint8.
+    Query points are sampled per batch at train time
+    (geom.voxel.sample_grids_for_voxel), like the reference's collate."""
+    mols = list(mols)[shard_index::num_shards]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    paths: List[str] = []
+    for c0 in range(0, len(mols), chunk_size):
+        chunk = mols[c0:c0 + chunk_size]
+        jobs = [(m, grid_resolution, max_dist) for m in chunk]
+        if num_workers > 1:
+            with _MP.Pool(num_workers) as pool:
+                prepped = list(pool.imap(_prep_voxel_one, jobs, chunksize=8))
+        else:
+            prepped = [_prep_voxel_one(j) for j in jobs]
+        good = [p for p in prepped if p is not None]
+        if not good:
+            continue
+        shard_path = (f"{out_path}.shard{shard_index:03d}_"
+                      f"{c0 // chunk_size:05d}.npz")
+        np.savez_compressed(shard_path, voxel=np.stack(good),
+                            grid_resolution=grid_resolution,
+                            max_dist=max_dist)
+        paths.append(shard_path)
+    return paths
+
+
+class VoxelPackDataset:
+    """Reader for voxel packs; batches sample fresh query points."""
+
+    def __init__(self, pattern: str):
+        import glob
+        self.paths = (sorted(glob.glob(pattern)) if "*" in pattern
+                      else [pattern])
+        if not self.paths:
+            raise FileNotFoundError(pattern)
+        self._shards = [np.load(p) for p in self.paths]
+        self._sizes = [s["voxel"].shape[0] for s in self._shards]
+        self._offsets = np.cumsum([0] + self._sizes)
+        self.grid_size = int(self._shards[0]["voxel"].shape[1])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def batch(self, indices, num_samples: int = 1024,
+              rng: Optional[np.random.Generator] = None):
+        from shapemol_tpu.geom.voxel import sample_grids_for_voxel
+        rng = rng or np.random.default_rng()
+        voxels, points, values = [], [], []
+        for idx in indices:
+            shard = int(np.searchsorted(self._offsets, idx, "right") - 1)
+            local = int(idx - self._offsets[shard])
+            vox = self._shards[shard]["voxel"][local].astype(np.float32)
+            pts, vals = sample_grids_for_voxel(vox, num_samples, rng)
+            voxels.append(vox[..., None])       # channel dim
+            points.append(pts)
+            values.append(vals)
+        return {"voxel": np.stack(voxels), "points": np.stack(points),
+                "values": np.stack(values)}

@@ -55,3 +55,27 @@ def make_grid(coords: np.ndarray, max_dist: float = 11.0,
     (utils/shape.py:148-151 get_grid_coords)."""
     g = (coords + max_dist) / grid_resolution
     return np.round(g).astype(int)
+
+
+def sample_grids_for_voxel(voxel: np.ndarray, num_samples: int,
+                           rng: np.random.Generator):
+    """Query-point sampling for voxel-AE training (reference
+    datasets/shape_data.py:189-202): half uniform-random grid cells, half
+    drawn from the occupied cells, values = occupancy at those cells.
+
+    Returns (points (T, 3) float32 grid coordinates, values (T,) float32)."""
+    g = voxel.shape[0]
+    n_rand = num_samples // 2
+    n_occ = num_samples - n_rand
+    rand_pts = rng.integers(0, g, (n_rand, 3))
+    rand_vals = voxel[rand_pts[:, 0], rand_pts[:, 1], rand_pts[:, 2]]
+    occ_cells = np.argwhere(voxel > 0)
+    if len(occ_cells) == 0:                     # degenerate empty grid
+        occ_pts = rng.integers(0, g, (n_occ, 3))
+        occ_vals = voxel[occ_pts[:, 0], occ_pts[:, 1], occ_pts[:, 2]]
+    else:
+        occ_pts = occ_cells[rng.integers(0, len(occ_cells), n_occ)]
+        occ_vals = np.ones(n_occ, dtype=voxel.dtype)
+    points = np.concatenate([rand_pts, occ_pts]).astype(np.float32)
+    values = np.concatenate([rand_vals, occ_vals]).astype(np.float32)
+    return points, values

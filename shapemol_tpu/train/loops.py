@@ -174,3 +174,48 @@ def make_shape_ae_eval_step(model: PointCloudAE):
             batch["point_cloud"], batch["query_points"], train=False)
         return shape_ae_val_metrics(pred, batch["values"])
     return jax.jit(step)
+
+
+def make_voxel_ae_train_step(model, tx: optax.GradientTransformation,
+                             mesh: Optional[Mesh] = None):
+    """Voxel-AE train step: MSE on occupancy at sampled grid cells
+    (reference models/shape_modelAE.py:115-128 via train_shapeAE.py)."""
+
+    def step(state: TrainState, batch):
+        def loss_fn(params):
+            _, pred = model.apply({"params": params}, batch["voxel"],
+                                  batch["points"])
+            return jnp.mean((pred - batch["values"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        upd, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, {"loss": loss,
+                           "grad_norm": optax.global_norm(grads)}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step,
+                   in_shardings=(repl, {"voxel": data, "points": data,
+                                        "values": data}),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
+
+
+def make_voxel_ae_eval_step(model):
+    """Loss + occupancy accuracy/recall at 0.5 (reference
+    models/shape_modelAE.py:130-141 semantics)."""
+    def step(state: TrainState, batch):
+        _, pred = model.apply({"params": state.params}, batch["voxel"],
+                              batch["points"])
+        loss = jnp.mean((pred - batch["values"]) ** 2)
+        hit = (pred > 0.5) == (batch["values"] > 0.5)
+        acc = jnp.mean(hit.astype(jnp.float32))
+        pos_mask = batch["values"] > 0.5
+        recall = (jnp.sum((pred > 0.5) & pos_mask)
+                  / jnp.maximum(jnp.sum(pos_mask), 1))
+        return loss, acc, recall
+    return jax.jit(step)
