@@ -150,6 +150,11 @@ def main():
                    help="checkpoint dir to resume from")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(or env JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--keep_cloud", action="store_true",
                    help="store the surface point clouds in the packs "
                         "(needed for point-cloud guidance at sampling time)")
@@ -160,10 +165,19 @@ def main():
 
     cfg = load_config(args.config)
     misc.seed_all(cfg.train.seed)
+
+    # multi-host runtime: join the distributed coordinator BEFORE any device
+    # query; the mesh below spans the GLOBAL device set
+    from shapemol_tpu.parallel import distributed as dist
+    is_dist = dist.initialize(args.coordinator, args.num_processes,
+                              args.process_id)
+    pid, pcount = dist.process_shard()
+
     log_dir = misc.get_new_log_dir(args.logdir, prefix="diffusion",
-                                   tag=args.tag)
+                                   tag=(args.tag + (f"p{pid}" if is_dist
+                                                    else "")))
     logger = misc.get_logger("train_diffusion", log_dir)
-    logger.info(f"devices: {jax.devices()}")
+    logger.info(f"process {pid}/{pcount}, devices: {jax.devices()}")
 
     dataset = build_dataset(cfg, args, logger)
     atom_mode = cfg.data.get_path("transform.ligand_atom_mode", "add_aromatic")
@@ -177,12 +191,17 @@ def main():
     dsched = model_cfg.make_schedule()
 
     n_acc = int(cfg.train.get("n_acc_batch", 1))
+    # per-host loading: every process follows the same rng stream (same
+    # bucket -> same static shapes) but gathers only its own slice of each
+    # global batch (reusing the preprocessing shard convention)
     batcher = BucketBatcher(dataset, cfg.train.batch_size * n_acc,
                             random_rotate=bool(cfg.data.get_path(
                                 "transform.random_rot", False)),
-                            seed=cfg.train.seed, indices=split["train"])
+                            seed=cfg.train.seed, indices=split["train"],
+                            process_index=pid, process_count=pcount)
     val_batcher = BucketBatcher(dataset, cfg.train.batch_size,
-                                seed=7, indices=split["val"])
+                                seed=7, indices=split["val"],
+                                process_index=pid, process_count=pcount)
     it_batches = iter(batcher)
     example = next(it_batches)
 
@@ -211,7 +230,9 @@ def main():
     sched = get_scheduler(cfg.train.scheduler.type,
                           **{k: v for k, v in cfg.train.scheduler.items()
                              if k != "type"})
-    mesh = make_mesh(args.mesh) if args.mesh > 1 else None
+    # multi-host runs always need the sharded step over the global mesh
+    mesh = (make_mesh(args.mesh) if args.mesh > 1
+            else (make_mesh() if is_dist else None))
     train_step = make_diffusion_train_step(
         net, dsched, tx, mesh=mesh,
         ema_decay=cfg.train.get("ema_decay", None),
@@ -233,6 +254,8 @@ def main():
               "v": jnp.asarray(batch["v"]),
               "node_mask": jnp.asarray(batch["node_mask"]),
               "shape_emb": jnp.asarray(batch["shape_emb"])}
+        if is_dist:
+            jb = dist.host_local_to_global(jb, mesh)
         rng, step_rng = jax.random.split(rng)
         if args.profile and it == 200:
             jax.profiler.start_trace(os.path.join(log_dir, "profile"))
@@ -260,7 +283,9 @@ def main():
                         aurocs.append(atom_type_auroc(
                             out["pred_ligand_v"], vb["v"], vb["node_mask"],
                             num_classes))
-            val_loss = float(np.mean(losses))
+            # every host evaluates its local val shard; average across
+            # hosts so all processes drive the LR scheduler identically
+            val_loss = dist.all_processes_mean(float(np.mean(losses)))
             logger.info(f"[val] it {it} loss {val_loss:.4f} "
                         f"auroc {np.nanmean(aurocs):.4f}")
             new_lr = sched.step(val_loss, get_learning_rate(state))

@@ -40,6 +40,11 @@ class BucketBatcher:
     seed: int = 0
     drop_oversize: bool = True
     indices: Optional[np.ndarray] = None     # restrict to a split
+    # multi-host: every process runs the SAME rng stream (identical bucket
+    # choice -> identical static shapes across hosts) but gathers only its
+    # own batch_size/process_count rows
+    process_index: int = 0
+    process_count: int = 1
 
     def __post_init__(self):
         counts = self.dataset.num_atoms()
@@ -72,6 +77,10 @@ class BucketBatcher:
             yield self._make_batch(idxs, b, rng)
 
     def _make_batch(self, idxs, bucket: int, rng) -> Dict[str, np.ndarray]:
+        if self.process_count > 1:
+            local = len(idxs) // self.process_count
+            idxs = idxs[self.process_index * local:
+                        (self.process_index + 1) * local]
         batch = self.dataset.gather(idxs)
         batch = {k: v[:, :bucket] if v.ndim >= 2 and k in
                  ("pos", "v", "node_mask") else v

@@ -249,5 +249,7 @@ def sample_sdf_points(atomic_nums: np.ndarray, pos: np.ndarray,
     from scipy.spatial import cKDTree
     tree = cKDTree(cloud)
     dist, _ = tree.query(pts)
-    sign = np.where(f(pts) < 0, -1.0, 1.0)
+    # reference sign convention: +1 INSIDE the surface, -1 outside
+    # (datasets/shape_data.py:180-183) — se_model.pt is trained with this
+    sign = np.where(f(pts) < 0, 1.0, -1.0)
     return pts, sign * dist
