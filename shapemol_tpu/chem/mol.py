@@ -265,3 +265,127 @@ def infer_hybridization(mol: Molecule) -> List[str]:
             hyb.append("SP3")
     mol.hybridization = hyb
     return hyb
+
+
+def kekulize(mol: Molecule) -> Optional[Dict[Tuple[int, int], int]]:
+    """Assign alternating single/double orders to the aromatic bonds.
+
+    Returns {(i, j): 1|2} for every aromatic bond, or None if no valid
+    kekulé structure exists. Constraints per aromatic atom:
+      * carbon: exactly ONE double bond among its aromatic bonds, unless it
+        already carries an exocyclic double/triple bond (then zero);
+      * nitrogen: one double bond, or zero when it is a lone-pair donor
+        (three connections total, an exocyclic substituent, or a positive
+        ring N-H situation) — the search tries both;
+      * O/S (furan/thiophene): zero double bonds (pure lone-pair donors).
+
+    Small backtracking search — aromatic systems in drug-like molecules
+    have at most a few dozen bonds. This is what RDKit/OpenBabel do for the
+    reference at sanitization time; needed so valence checks see kekulé
+    orders instead of 1.5-per-aromatic-bond sums
+    (e.g. N-methylpyrrole N: 1.5+1.5+1 = 4 "valence" but kekulized 1+1+1=3).
+    """
+    arom_bonds = [(i, j) for i, j, o in mol.bonds if o == AROMATIC]
+    if not arom_bonds:
+        return {}
+    other_valence = np.zeros(mol.num_atoms)
+    arom_deg = np.zeros(mol.num_atoms, dtype=int)
+    for i, j, o in mol.bonds:
+        if o == AROMATIC:
+            arom_deg[i] += 1
+            arom_deg[j] += 1
+        else:
+            other_valence[i] += _BOND_ORDER_VALENCE[o]
+            other_valence[j] += _BOND_ORDER_VALENCE[o]
+    degree = np.zeros(mol.num_atoms, dtype=int)
+    for i, j, _ in mol.bonds:
+        degree[i] += 1
+        degree[j] += 1
+
+    atoms = sorted({a for b in arom_bonds for a in b})
+
+    def build_need(relax_carbon: bool) -> Dict[int, Tuple[int, int]]:
+        # how many double bonds each aromatic atom may take: (min, max)
+        need: Dict[int, Tuple[int, int]] = {}
+        for a in atoms:
+            z = int(mol.atomic_nums[a])
+            if z == 6:
+                # carbon with an exocyclic multiple bond (quinoid) -> 0
+                if other_valence[a] >= 2:
+                    lo = hi = 0
+                else:
+                    lo, hi = (0, 1) if relax_carbon else (1, 1)
+            elif z == 7:
+                hi = 1 if other_valence[a] <= 1 and degree[a] <= 2 else 0
+                lo = 0
+            elif z in (8, 16, 34):
+                lo = hi = 0
+            else:
+                lo, hi = 0, 1
+            need[a] = (lo, hi)
+        return need
+
+    need = build_need(relax_carbon=False)
+
+    nb: Dict[int, List[int]] = {a: [] for a in atoms}
+    for k, (i, j) in enumerate(arom_bonds):
+        nb[i].append(k)
+        nb[j].append(k)
+
+    assign = [0] * len(arom_bonds)           # 0 unset, 1 single, 2 double
+    dbl = {a: 0 for a in atoms}
+    unset = {a: len(nb[a]) for a in atoms}
+
+    def ok(a):
+        lo, hi = need[a]
+        return dbl[a] <= hi and dbl[a] + unset[a] >= lo
+
+    def rec(k):
+        if k == len(arom_bonds):
+            return all(need[a][0] <= dbl[a] <= need[a][1] for a in atoms)
+        i, j = arom_bonds[k]
+        for val in (2, 1):
+            assign[k] = val
+            d = 1 if val == 2 else 0
+            dbl[i] += d
+            dbl[j] += d
+            unset[i] -= 1
+            unset[j] -= 1
+            if ok(i) and ok(j) and rec(k + 1):
+                return True
+            dbl[i] -= d
+            dbl[j] -= d
+            unset[i] += 1
+            unset[j] += 1
+            assign[k] = 0
+        return False
+
+    if not rec(0):
+        # relaxed retry: allow aromatic carbons WITHOUT a ring double
+        # (mis-perceived quinoid/exocyclic cases). Used only for valence
+        # ACCOUNTING — relaxation can underestimate, never overestimate,
+        # so true sigma-bond hypervalency is still caught.
+        need = build_need(relax_carbon=True)
+        assign[:] = [0] * len(arom_bonds)
+        for a in atoms:
+            dbl[a] = 0
+            unset[a] = len(nb[a])
+        if not rec(0):
+            return None
+    return {(min(i, j), max(i, j)): assign[k]
+            for k, (i, j) in enumerate(arom_bonds)}
+
+
+def kekulized_valences(mol: Molecule) -> np.ndarray:
+    """Per-atom valence with aromatic systems kekulized (falls back to the
+    1.5-per-aromatic-bond sum when no kekulé structure exists)."""
+    kek = kekulize(mol)
+    if kek is None:
+        return mol.explicit_valences()
+    val = np.zeros(mol.num_atoms)
+    for i, j, o in mol.bonds:
+        v = (kek[(min(i, j), max(i, j))] if o == AROMATIC
+             else _BOND_ORDER_VALENCE[o])
+        val[i] += v
+        val[j] += v
+    return val

@@ -72,10 +72,19 @@ def _angle_deg(p_center: np.ndarray, p_a: np.ndarray, p_b: np.ndarray) -> float:
 
 
 def _forms_small_angle(pos: np.ndarray, adj: List[set], a: int, b: int,
-                       cutoff: float = 60.0) -> bool:
-    """True if the bond a-b makes an angle < cutoff with any other bond at a
-    (angle measured at b? — the reference measures b.GetAngle(a, nbr), the
-    angle nbr-a-b with vertex a)."""
+                       cutoff: float = 58.0) -> bool:
+    """True if the bond a-b makes an angle < cutoff with any other bond at
+    vertex a. The reference calls ``b.GetAngle(a, nbr)``
+    (utils/reconstruct.py:49) and OpenBabel's ``OBAtom::GetAngle(b, c)``
+    measures the angle this-b-c with the FIRST argument as the vertex, so
+    the measured angle is b-a-nbr with vertex a — exactly this function.
+
+    Cutoff: the reference uses 60° (reconstruct.py:43,168) which breaks one
+    bond of ~37% of REAL cyclopropanes (equilateral angles straddle 60.0 —
+    measured 58.6-60.9° across MOSES2's 64 three-rings). 58° keeps every
+    real 3-ring and still prunes degenerate geometry; a deliberate
+    correctness improvement over the reference, validated by the oracle
+    test (tests/test_reconstruct_oracle.py)."""
     for nbr in adj[a]:
         if nbr == b:
             continue
@@ -256,6 +265,28 @@ def perceive_bond_orders(pos: np.ndarray, atomic_nums: np.ndarray,
     capacity = np.array([max(target_valence(a) - degree[a], 0)
                          for a in range(n)], dtype=np.float64)
 
+    dists = {(i, j): float(np.linalg.norm(pos[i] - pos[j]))
+             for i, j in bonds}
+    candidates = sorted(bonds, key=lambda b: dists[b])
+
+    # pre-pass: unambiguous TERMINAL multiple bonds (carbonyl / nitrile /
+    # sulfonyl oxygens — one endpoint has degree 1) claim their valence
+    # BEFORE aromatic rings debit capacity; otherwise a pyridinone-type
+    # ring carbon (2 aromatic bonds + C=O) has no capacity left for the
+    # obvious 1.23 Å double bond
+    for (i, j) in candidates:
+        if degree[i] != 1 and degree[j] != 1:
+            continue
+        bo = pt.get_bond_order(syms[i], syms[j], dists[(i, j)])
+        if bo >= 3 and capacity[i] >= 2 and capacity[j] >= 2:
+            orders[(i, j)] = 3
+            capacity[i] -= 2
+            capacity[j] -= 2
+        elif bo >= 2 and capacity[i] >= 1 and capacity[j] >= 1:
+            orders[(i, j)] = 2
+            capacity[i] -= 1
+            capacity[j] -= 1
+
     # aromatic rings: from indicators when provided, and from geometry —
     # a planar 5/6-ring of sp2-capable atoms whose bond lengths sit closer
     # to the double-bond than the single-bond table entry (OpenBabel's
@@ -280,9 +311,6 @@ def perceive_bond_orders(pos: np.ndarray, atomic_nums: np.ndarray,
 
     # distribute double/triple upgrades greedily by empirical windows,
     # shortest (most confident) bonds first
-    dists = {(i, j): float(np.linalg.norm(pos[i] - pos[j]))
-             for i, j in bonds}
-    candidates = sorted(bonds, key=lambda b: dists[b])
     for (i, j) in candidates:
         if orders[(i, j)] != 1:
             continue
@@ -359,8 +387,14 @@ def reconstruct_from_generated(xyz: np.ndarray,
 
         infer_hybridization(mol)
 
-        # sanity: no atom may exceed its maximum allowed valence
-        val = mol.explicit_valences()
+        # sanity: no atom may exceed its maximum allowed valence. Valences
+        # are computed on the KEKULIZED structure (chem/mol.kekulize) — the
+        # 1.5-per-aromatic-bond sum falsely flags lone-pair donors with
+        # substituents (e.g. N-methylpyrrole N: 1.5+1.5+1 = 4 "valence",
+        # kekulized 3), which is what RDKit/OpenBabel sanitization does for
+        # the reference.
+        from shapemol_tpu.chem.mol import kekulized_valences
+        val = kekulized_valences(mol)
         for a in range(mol.num_atoms):
             allowed = pt.allowed_valence(mol.symbols[a])
             vmax = max(allowed) if isinstance(allowed, list) else allowed

@@ -63,6 +63,9 @@ def main():
         if args.synthetic:
             from shapemol_tpu.data.synthetic import random_dataset
             mols = random_dataset(args.synthetic, seed=cfg.train.seed)
+        elif str(cfg.data.get("path", "")).endswith(".pkl"):
+            from shapemol_tpu.compat.rdkit_unpickle import load_rdkit_mol_pickle
+            mols = load_rdkit_mol_pickle(cfg.data.path)
         else:
             from shapemol_tpu.chem.sdf import read_sdf
             mols = read_sdf(cfg.data.path)

@@ -1,0 +1,146 @@
+"""espsim parity: our ESP-similarity implementation vs the vendored
+reference math (run as an oracle in a subprocess with RDKit stubbed — the
+integral functions themselves are pure numpy/scipy), plus the espsim option
+surface (metrics, MC integration, renormalize, charge models, align-score).
+"""
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from shapemol_tpu.chem.mol import Molecule, AROMATIC
+from shapemol_tpu.eval import espsim
+
+REF_ESPSIM = "/root/reference/utils/espsim"
+
+
+def _random_pair(seed=0, na=9, nb=7):
+    rng = np.random.default_rng(seed)
+    pos_a = rng.standard_normal((na, 3)) * 2.0
+    pos_b = rng.standard_normal((nb, 3)) * 2.0 + 0.5
+    q_a = rng.standard_normal(na) * 0.3
+    q_b = rng.standard_normal(nb) * 0.3
+    return pos_a, q_a, pos_b, q_b
+
+
+def _oracle(pos_a, q_a, pos_b, q_b, metric):
+    """Run the vendored GetIntegralsViaGaussians in a subprocess (RDKit
+    stubbed out; the function under test is pure numpy/scipy)."""
+    payload = json.dumps({"pa": pos_a.tolist(), "qa": q_a.tolist(),
+                          "pb": pos_b.tolist(), "qb": q_b.tolist(),
+                          "metric": metric})
+    code = textwrap.dedent("""
+        import json, sys, types
+        import numpy as np
+        # stub rdkit so the vendored module imports; the integral math
+        # touches none of it
+        for name in ("rdkit", "rdkit.Chem", "rdkit.Chem.AllChem",
+                     "rdkit.Chem.rdMolAlign", "rdkit.Chem.rdMolDescriptors",
+                     "rdkit.Chem.rdForceFieldHelpers"):
+            m = types.ModuleType(name)
+            m.__getattr__ = lambda *a, **k: None
+            sys.modules[name] = m
+        sys.modules["rdkit"].Chem = sys.modules["rdkit.Chem"]
+        for attr in ("AllChem", "rdMolAlign", "rdMolDescriptors",
+                     "rdForceFieldHelpers"):
+            setattr(sys.modules["rdkit.Chem"], attr,
+                    sys.modules["rdkit.Chem." + attr])
+        for fn in ("AlignMol", "EmbedMolecule", "EmbedMultipleConfs"):
+            setattr(sys.modules["rdkit.Chem.AllChem"], fn, None)
+        setattr(sys.modules["rdkit.Chem.rdForceFieldHelpers"],
+                "UFFGetMoleculeForceField", None)
+        d = json.loads(sys.stdin.read())
+        import scipy.spatial
+        import re
+        pa, qa = np.array(d["pa"]), np.array(d["qa"])
+        pb, qb = np.array(d["pb"]), np.array(d["qb"])
+        # execute the vendored math functions from source (pure numpy)
+        ns = {"np": np, "scipy": scipy}
+        hsrc = open(%r + "/helpers.py").read()
+        src = open(%r + "/electrostatics.py").read()
+        for text, fname in ((hsrc, "SimilarityMetric"),
+                            (src, "GaussInt"),
+                            (src, "GetIntegralsViaGaussians")):
+            m = re.search(r"\\ndef " + fname
+                          + r"\\(.*?(?=\\ndef |\\ntry|\\Z)", text, re.S)
+            exec(compile(m.group(0), "espsim_ref", "exec"), ns)
+        out = ns["GetIntegralsViaGaussians"](pa, pb, qa, qb, d["metric"])
+        print(json.dumps({"sim": float(out)}))
+    """) % (REF_ESPSIM, REF_ESPSIM)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("PALLAS_AXON")}
+    r = subprocess.run([sys.executable, "-c", code], input=payload,
+                       capture_output=True, text=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads(r.stdout)["sim"]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ESPSIM),
+                    reason="vendored espsim not mounted")
+@pytest.mark.parametrize("metric", ["carbo", "tanimoto"])
+def test_gauss_integrals_match_vendored(metric):
+    for seed in (0, 1, 2):
+        pos_a, q_a, pos_b, q_b = _random_pair(seed)
+        ours = espsim._integrals_gauss(pos_a, q_a, pos_b, q_b, metric)
+        ref = _oracle(pos_a, q_a, pos_b, q_b, metric)
+        assert ours == pytest.approx(ref, rel=1e-9), (seed, metric)
+
+
+def _ethanolish():
+    pos = np.array([[0, 0, 0], [1.52, 0, 0], [2.0, 1.33, 0.0]])
+    return Molecule(np.array([6, 6, 8]), pos, [(0, 1, 1), (1, 2, 1)])
+
+
+def test_esp_sim_options():
+    m = _ethanolish()
+    assert espsim.esp_sim(m, m) == pytest.approx(1.0, abs=1e-9)
+    t = espsim.esp_sim(m, m, metric="tanimoto")
+    assert t == pytest.approx(1.0, abs=1e-9)
+    # renormalize maps carbo [-1,1] -> [0,1]
+    r = espsim.esp_sim(m, m, do_renormalize=True)
+    assert r == pytest.approx(1.0, abs=1e-9)
+    assert espsim.renormalize(-1.0, "carbo") == 0.0
+    assert espsim.renormalize(0.0, "carbo") == 0.5
+    assert espsim.renormalize(1.0, "tanimoto") == pytest.approx(1.0)
+
+
+def test_mc_integration_approximates_gauss():
+    """The MC integrator (exact 1/r fields) and the Gaussian-fit analytic
+    integrals measure the same thing; self-similarity must be exactly 1 and
+    cross-similarity must agree in sign and rough magnitude."""
+    rng = np.random.default_rng(3)
+    za = np.array([6, 8, 7, 6])
+    pa = rng.standard_normal((4, 3))
+    ma = Molecule(za, pa, [(0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    mb = Molecule(za, pa + np.array([0.6, 0, 0]),
+                  [(0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    s_mc = espsim.esp_sim(ma, ma, integrate="mc", n_mc=0.3)
+    assert s_mc == pytest.approx(1.0, abs=1e-9)
+    g = espsim.esp_sim(ma, mb, integrate="gauss")
+    mc = espsim.esp_sim(ma, mb, integrate="mc", n_mc=0.5)
+    assert np.sign(g) == np.sign(mc)
+    assert abs(g - mc) < 0.35
+
+
+def test_charge_model_dispatch():
+    m = _ethanolish()
+    q = espsim.partial_charges(m, "gasteiger")
+    assert q.shape == (3,) and q[2] < 0          # O negative
+    with pytest.raises(ValueError, match="ml"):
+        espsim.partial_charges(m, "ml")
+    with pytest.raises(ValueError):
+        espsim.partial_charges(m, "nonsense")
+
+
+def test_align_score():
+    m = _ethanolish()
+    # rotated+translated copy must align back to ESP/shape similarity ~1
+    Q, _ = np.linalg.qr(np.random.default_rng(1).standard_normal((3, 3)))
+    m2 = Molecule(m.atomic_nums, m.pos @ Q + 2.0, m.bonds)
+    esp, shp = espsim.align_score(m2, m)
+    assert shp > 0.95
+    assert esp > 0.9

@@ -46,6 +46,8 @@ d = np.linalg.norm(z2f[:, None] - z1f[None, :], axis=-1)
 top1 = float((d.argmin(1) == np.arange(N_MOLS)).mean())
 # equivariance: z(R c) vs R z(c)
 Q, _ = np.linalg.qr(np.random.default_rng(1).standard_normal((3, 3)))
+if np.linalg.det(Q) < 0:      # VN nets are equivariant to PROPER rotations
+    Q[:, 0] *= -1
 zr = encode((c1 @ Q.T.astype(np.float32)))
 err = np.linalg.norm(zr - z1 @ Q.T.astype(np.float32), axis=(1, 2))
 ref = np.linalg.norm(z1, axis=(1, 2))
