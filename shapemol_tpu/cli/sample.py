@@ -135,8 +135,13 @@ def main():
     )
 
     shape = jnp.asarray(np.tile(datum["shape_emb"][None], (bs, 1, 1)))
+    # the reference applies the bounds clamp only inside its CFG branch
+    # (molopt_score_model.py:616-642, config guide_stren > 0); with this
+    # framework's corrected CFG the clamp is useful standalone, so it can
+    # be enabled independently via sample.use_bound
+    use_bound = bool(cfg.sample.get("use_bound", scfg.guide_stren > 0))
     bounds = (jnp.asarray(np.tile(datum["bounds"][None], (bs, 1, 1)))
-              if "bounds" in datum and scfg.guide_stren > 0 else None)
+              if "bounds" in datum and use_bound else None)
     if guidance == "pointcloud":
         if "cloud" not in datum:
             raise SystemExit("test pack has no 'cloud' field; re-run "

@@ -178,6 +178,8 @@ def main():
                                                     else "")))
     logger = misc.get_logger("train_diffusion", log_dir)
     logger.info(f"process {pid}/{pcount}, devices: {jax.devices()}")
+    from shapemol_tpu.core.metrics import MetricsWriter
+    mw = MetricsWriter(log_dir)
 
     dataset = build_dataset(cfg, args, logger)
     atom_mode = cfg.data.get_path("transform.ligand_atom_mode", "add_aromatic")
@@ -270,6 +272,13 @@ def main():
                         f"v {float(metrics['loss_v']):.4f} "
                         f"grad {float(metrics['grad_norm']):.3f} "
                         f"lr {get_learning_rate(state):.2e}")
+            # reference scalar surface (scripts/train_diffusion.py:155-166)
+            mw.scalars({"loss": metrics["loss"],
+                        "loss_pos": metrics["loss_pos"],
+                        "loss_v": metrics["loss_v"],
+                        "grad_norm": metrics["grad_norm"],
+                        "lr": get_learning_rate(state)}, it,
+                       prefix="train/")
         if it % val_freq == 0 or it == max_iters:
             losses, aurocs = [], []
             for vb in val_batches:
@@ -288,6 +297,9 @@ def main():
             val_loss = dist.all_processes_mean(float(np.mean(losses)))
             logger.info(f"[val] it {it} loss {val_loss:.4f} "
                         f"auroc {np.nanmean(aurocs):.4f}")
+            mw.scalars({"loss": val_loss,
+                        "atom_auroc": float(np.nanmean(aurocs))}, it,
+                       prefix="val/")
             new_lr = sched.step(val_loss, get_learning_rate(state))
             state = set_learning_rate(state, new_lr)
             if val_loss < best_val:

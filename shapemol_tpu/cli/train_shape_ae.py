@@ -54,6 +54,8 @@ def main():
                                    tag=args.tag)
     logger = misc.get_logger("train_shape_ae", log_dir)
     logger.info(f"devices: {jax.devices()}")
+    from shapemol_tpu.core.metrics import MetricsWriter
+    mw = MetricsWriter(log_dir)
 
     # ---- data
     pack_pattern = os.path.join(
@@ -124,6 +126,10 @@ def main():
             logger.info(f"[train] it {it} loss {float(metrics['loss']):.6f} "
                         f"grad {float(metrics['grad_norm']):.4f} "
                         f"lr {get_learning_rate(state):.2e}")
+            # reference scalar surface (scripts/train_shapeAE.py:109-122)
+            mw.scalars({"loss": metrics["loss"],
+                        "grad_norm": metrics["grad_norm"],
+                        "lr": get_learning_rate(state)}, it, prefix="train/")
         if it % val_freq == 0 or it == max_iters:
             losses, accs, recs = [], [], []
             for v0 in range(0, len(val_idx), bs):
@@ -139,6 +145,8 @@ def main():
             val_loss = float(np.mean(losses))
             logger.info(f"[val] it {it} loss {val_loss:.6f} "
                         f"acc {np.mean(accs):.4f} recall {np.mean(recs):.4f}")
+            mw.scalars({"loss": val_loss, "acc": float(np.mean(accs)),
+                        "recall": float(np.mean(recs))}, it, prefix="val/")
             new_lr = sched.step(val_loss, get_learning_rate(state))
             state = set_learning_rate(state, new_lr)
             if val_loss < best_val:

@@ -71,9 +71,12 @@ def _rbf_centers_coeff(num: int, r_max: float):
 def edge_block_xla(params: Dict[str, Array], x: Array, dst_feats: Array,
                    h_src: Array, q: Array, idx: Array, e_w: Array,
                    nbr_mask: Array, n_heads: int, mode: str,
-                   num_rbf: int = 20, r_max: float = 10.0):
+                   num_rbf: int = 20, r_max: float = 10.0,
+                   edge_attr: Array = None):
     """mode='x2h' -> scalar messages (B,N,H);
-    mode='h2x' -> vector messages (B,N,heads,3)."""
+    mode='h2x' -> vector messages (B,N,heads,3);
+    edge_attr (B,N,K,E) optional per-edge features joining the factored
+    kv input via params['w_edge']."""
     B, N, K = idx.shape
     H = h_src.shape[-1]
     centers, coeff = _rbf_centers_coeff(num_rbf, r_max)
@@ -88,6 +91,8 @@ def edge_block_xla(params: Dict[str, Array], x: Array, dst_feats: Array,
     src_g = jax.vmap(lambda xb, ib: xb[ib])(src, idx)          # (B,N,K,2H)
     edge = r_feat @ params["w_rbf"]                            # (B,N,K,2H)
     joint = edge + src_g + dst[:, :, None, :]
+    if edge_attr is not None:
+        joint = joint + edge_attr @ params["w_edge"]
     hk, hv = joint[..., :H], joint[..., H:]
     hk = jax.nn.relu(_ln(hk, params["ln_k_scale"], params["ln_k_bias"]))
     hv = jax.nn.relu(_ln(hv, params["ln_v_scale"], params["ln_v_bias"]))
@@ -319,7 +324,15 @@ _edge_block_ad.defvjp(_edge_block_fwd, _edge_block_bwd)
 def edge_block(params, x, dst_feats, h_src, q, idx, e_w, nbr_mask,
                n_heads: int, mode: str, num_rbf: int = 20,
                r_max: float = 10.0, use_pallas: bool = True,
-               mm_dtype: str = "float32") -> Array:
+               mm_dtype: str = "float32", edge_attr=None) -> Array:
+    """edge_attr (B,N,K,E) optional per-edge features (the reference's
+    edge_feat_dim > 0 path, uni_transformer.py:54-55,127-128). Requires
+    params['w_edge'] (E, 2H) and currently runs on the XLA path (the fused
+    Pallas kernel serves the shipped edge_feat_dim=0 config)."""
+    if edge_attr is not None:
+        return edge_block_xla(params, x, dst_feats, h_src, q, idx, e_w,
+                              nbr_mask, n_heads, mode, num_rbf, r_max,
+                              edge_attr=edge_attr)
     if use_pallas and jax.default_backend() == "tpu":
         return _edge_block_ad(params, x, dst_feats, h_src, q, idx, e_w,
                               nbr_mask, n_heads, mode, num_rbf, r_max,

@@ -139,13 +139,18 @@ def _cdtype(cfg: DenoiserConfig):
 
 
 def _make_edge_params(mod: nn.Module, d_in: int, hidden: int, r_dim: int,
-                      out_v: int):
+                      out_v: int, edge_dim: int = 0):
     """Declare the fused edge-block parameter set (layout consumed by
-    kernels/edge_block.py; initializers match nn.Dense/LayerNorm defaults)."""
+    kernels/edge_block.py; initializers match nn.Dense/LayerNorm defaults).
+    edge_dim > 0 adds the per-edge-feature weights (reference
+    edge_feat_dim path, uni_transformer.py:31,107)."""
     lecun = nn.initializers.lecun_normal()
     zeros = nn.initializers.zeros
     ones = nn.initializers.ones
+    extra = ({"w_edge": mod.param("w_edge", lecun, (edge_dim, 2 * hidden))}
+             if edge_dim > 0 else {})
     return {
+        **extra,
         "w_dst": mod.param("w_dst", lecun, (d_in, 2 * hidden)),
         "b_dst": mod.param("b_dst", zeros, (2 * hidden,)),
         "w_src": mod.param("w_src", lecun, (hidden, 2 * hidden)),
@@ -168,10 +173,11 @@ class X2HAttLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, idx, invar_shape, e_w, nbr_mask,
-                 topo=None):
+                 topo=None, edge_attr=None):
         """h (B,N,H); x (B,N,3) positions; idx (B,N,K) neighbor indices;
         invar_shape (B,N,S'); e_w (B,N,K,1); nbr_mask (B,N,K);
-        topo (B,N,H) optional per-node topology features."""
+        topo (B,N,H) optional per-node topology features;
+        edge_attr (B,N,K,E) optional per-edge features."""
         cfg = self.cfg
         heads, hd = cfg.n_heads, cfg.hidden_dim
         dt = _cdtype(cfg)
@@ -179,7 +185,8 @@ class X2HAttLayer(nn.Module):
         dst_parts = [h] + ([topo] if topo is not None else []) + [invar_shape]
         dst_feats = jnp.concatenate(dst_parts, axis=-1)
         params = _make_edge_params(self, dst_feats.shape[-1], hd,
-                                   cfg.num_r_gaussian, hd)
+                                   cfg.num_r_gaussian, hd,
+                                   edge_dim=cfg.edge_feat_dim)
         q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
                 name="hq_func")(h.astype(dt)).astype(jnp.float32)
 
@@ -188,7 +195,7 @@ class X2HAttLayer(nn.Module):
                          nbr_mask, heads, "x2h",
                          num_rbf=cfg.num_r_gaussian, r_max=cfg.r_max,
                          use_pallas=cfg.use_pallas_attention,
-                         mm_dtype=cfg.dtype)
+                         mm_dtype=cfg.dtype, edge_attr=edge_attr)
 
         out = jnp.concatenate([msg.astype(dt), h.astype(dt)], axis=-1)
         out = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
@@ -203,7 +210,8 @@ class H2XAttLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, idx, invar_shape, shape_emb,
-                 e_w, nbr_mask, node_mask, train: bool, topo=None):
+                 e_w, nbr_mask, node_mask, train: bool, topo=None,
+                 edge_attr=None):
         cfg = self.cfg
         B, N = h.shape[:2]
         heads, hd = cfg.n_heads, cfg.hidden_dim
@@ -212,7 +220,8 @@ class H2XAttLayer(nn.Module):
         dst_parts = [h] + ([topo] if topo is not None else []) + [invar_shape]
         dst_feats = jnp.concatenate(dst_parts, axis=-1)
         params = _make_edge_params(self, dst_feats.shape[-1], hd,
-                                   cfg.num_r_gaussian, heads)
+                                   cfg.num_r_gaussian, heads,
+                                   edge_dim=cfg.edge_feat_dim)
         q = MLP(hd, hd, norm=cfg.norm, act_fn=cfg.act_fn, dtype=dt,
                 name="xq_func")(h.astype(dt)).astype(jnp.float32)
 
@@ -223,7 +232,7 @@ class H2XAttLayer(nn.Module):
                          nbr_mask, heads, "h2x",
                          num_rbf=cfg.num_r_gaussian, r_max=cfg.r_max,
                          use_pallas=cfg.use_pallas_attention,
-                         mm_dtype=cfg.dtype)
+                         mm_dtype=cfg.dtype, edge_attr=edge_attr)
         # (B,N,heads,3) float32
 
         # attention_residue: VN mix of (x, messages, shape latent)
@@ -349,7 +358,7 @@ class AttentionBlockLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, idx, nbr_mask, invar_shape, shape_emb, e_w,
-                 node_mask, train: bool, topo=None):
+                 node_mask, train: bool, topo=None, edge_attr=None):
         # neighbor geometry + RBF expansion happen INSIDE the fused edge
         # kernels (kernels/edge_block.py) from (x, idx); x is constant
         # through the x2h stack and entering the first h2x iteration, and
@@ -357,21 +366,24 @@ class AttentionBlockLayer(nn.Module):
         # reference (uni_transformer.py:301,328)
         cfg = self.cfg
         if (cfg.fuse_layer and cfg.num_x2h == 1 and cfg.num_h2x == 1
-                and topo is None and not cfg.sync_twoup):
+                and topo is None and edge_attr is None
+                and not cfg.sync_twoup):
             return FusedAttentionLayer(cfg, name="fused")(
                 h, x, idx, nbr_mask, invar_shape, shape_emb, e_w,
                 node_mask, train)
         h_in = h
         for i in range(cfg.num_x2h):
             h_in = X2HAttLayer(cfg, name=f"x2h_{i}")(
-                h_in, x, idx, invar_shape, e_w, nbr_mask, topo=topo)
+                h_in, x, idx, invar_shape, e_w, nbr_mask, topo=topo,
+                edge_attr=edge_attr)
         x2h_out = h_in
 
         new_h = h if cfg.sync_twoup else x2h_out
         for i in range(cfg.num_h2x):
             delta = H2XAttLayer(cfg, name=f"h2x_{i}")(
                 new_h, x, idx, invar_shape, shape_emb,
-                e_w, nbr_mask, node_mask, train, topo=topo)
+                e_w, nbr_mask, node_mask, train, topo=topo,
+                edge_attr=edge_attr)
             x = x + delta * node_mask[..., None].astype(x.dtype)
         return x2h_out, x
 
@@ -392,7 +404,9 @@ class UniTransformer(nn.Module):
         Returns (h_final, x_final)."""
         cfg = self.cfg
         needs_cov = (cfg.cutoff_mode == "cov_radius"
-                     or cfg.topo_emb_type == "topo_layer")
+                     or cfg.topo_emb_type == "topo_layer"
+                     or (cfg.edge_feat_dim > 1
+                         and cfg.topo_emb_type == "topo_attr"))
         if needs_cov and v is None:
             raise ValueError("covalent graph requires atom-type indices v")
         radii_table = None
@@ -442,6 +456,27 @@ class UniTransformer(nn.Module):
                 raise ValueError(f"unsupported cutoff_mode: {cfg.cutoff_mode}")
             e_w = pred_ew(x, idx)
 
+            edge_attr = None
+            if cfg.edge_feat_dim > 0:
+                # reference _build_edge_type (uni_transformer.py:426-434):
+                # one-hot(1) constant normally; with topo_emb_type
+                # 'topo_attr', class 1 marks kNN edges that are also
+                # covalent (distance < r_cov_i + r_cov_j + 0.2 Å —
+                # utils/covalent_graph.py:7-19)
+                if cfg.edge_feat_dim == 1:
+                    edge_attr = jnp.ones((*idx.shape, 1), x.dtype)
+                else:
+                    r_at = radii_table[v]                       # (B,N)
+                    nbr_x = gather_neighbors(x, idx)
+                    d = jnp.linalg.norm(x[:, :, None, :] - nbr_x + 1e-12,
+                                        axis=-1)
+                    r_j = jnp.take_along_axis(r_at[:, None, :].repeat(
+                        idx.shape[1], 1), idx, axis=2)
+                    cov = ((d < r_at[:, :, None] + r_j + 0.2)
+                           & nbr_mask).astype(jnp.int32)
+                    edge_attr = jax.nn.one_hot(cov, cfg.edge_feat_dim,
+                                               dtype=x.dtype)
+
             topo = None
             if topo_layers:
                 cov_idx, cov_mask = covalent_knn(x, v, node_mask,
@@ -454,5 +489,6 @@ class UniTransformer(nn.Module):
 
             for layer in layers:
                 h, x = layer(h, x, idx, nbr_mask, invar, ligand_shape, e_w,
-                             node_mask, train, topo=topo)
+                             node_mask, train, topo=topo,
+                             edge_attr=edge_attr)
         return h, x

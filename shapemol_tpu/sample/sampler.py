@@ -256,6 +256,12 @@ def sample_diffusion(net, sched: dfn.DiffusionSchedule, variables,
                                      cfg.threshold_args, bounds=bounds)
             pred_v = threshold_cfg(mix_v, pred_v, cfg.threshold_type,
                                    cfg.threshold_args, bounds=None)
+        elif bounds is not None:
+            # standalone bounds clamp (decoupled from CFG — the reference
+            # only reaches its clamp inside the CFG branch,
+            # molopt_score_model.py:616-642, but it is useful on its own)
+            pred_pos = threshold_cfg(pred_pos, pred_pos, None, {},
+                                     bounds=bounds)
 
         if model_cfg.v_mode == "tomask":
             pred_v = pred_v.at[..., -1].set(-1e5)

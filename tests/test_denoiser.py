@@ -217,3 +217,37 @@ def test_bfloat16_path_close_to_f32():
     # same params, lower-precision compute: close but not identical
     np.testing.assert_allclose(np.asarray(xbf), np.asarray(x32), atol=0.15)
     assert hbf.dtype == jnp.float32 and xbf.dtype == jnp.float32
+
+
+def test_edge_feat_topo_attr_path(rot):
+    """edge_feat_dim=2 + topo_emb_type='topo_attr': covalent-marked kNN
+    edges feed per-edge one-hots into the kv MLPs (reference
+    uni_transformer.py:31,54-55,426-434,449-452). Must run, stay
+    equivariant, and actually depend on the edge features."""
+    cfg2 = DenoiserConfig(num_blocks=1, num_layers=1, hidden_dim=32,
+                          n_heads=4, knn=4, shape_dim=8, shape_latent_dim=8,
+                          edge_feat_dim=2, topo_emb_type="topo_attr")
+    model = UniTransformer(cfg2)
+    h, x, mask, shape = _make_inputs(13)
+    x = x * 0.8                       # compress so some pairs are covalent
+    v = jnp.asarray(np.random.default_rng(13).integers(0, 15, x.shape[:2]))
+    variables = model.init(jax.random.PRNGKey(0), h, x, mask, shape, v=v)
+    # the edge-feature weights exist
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    assert any("w_edge" in jax.tree_util.keystr(p) for p, _ in flat)
+    R = jnp.asarray(rot)
+    h1, x1 = model.apply(variables, h, x, mask, shape, v=v)
+    h2, x2 = model.apply(variables, h, x @ R, mask, shape @ R, v=v)
+    assert np.all(np.isfinite(np.asarray(x1)))
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1 @ R), atol=3e-4)
+
+
+def test_edge_feat_requires_v():
+    cfg2 = DenoiserConfig(num_layers=1, hidden_dim=32, n_heads=4,
+                          edge_feat_dim=2, topo_emb_type="topo_attr",
+                          shape_dim=8, shape_latent_dim=8)
+    model = UniTransformer(cfg2)
+    h, x, mask, shape = _make_inputs(14)
+    with pytest.raises(ValueError):
+        model.init(jax.random.PRNGKey(0), h, x, mask, shape)
