@@ -204,14 +204,25 @@ def preprocess_shape_dataset(mols: Sequence[Molecule], out_path: str,
 
 
 class ShapePackDataset:
-    """Reader for stage-1 packs."""
+    """Reader for stage-1 packs.
+
+    Members are decompressed ONCE per shard and kept as plain arrays — npz
+    members are zip-compressed, and indexing an NpzFile decompresses the
+    whole member on every access (the same host bottleneck PackDataset
+    fixed; at ~6 MB/member that made batch assembly dominate the TPU train
+    step)."""
 
     def __init__(self, pattern: str):
         import glob
         self.paths = sorted(glob.glob(pattern)) if "*" in pattern else [pattern]
         if not self.paths:
             raise FileNotFoundError(pattern)
-        self._shards = [np.load(p) for p in self.paths]
+        self._shards = []
+        for p in self.paths:
+            with np.load(p) as z:
+                self._shards.append({k: z[k] for k in
+                                     ("point_cloud", "query_points",
+                                      "values")})
         self._sizes = [s["point_cloud"].shape[0] for s in self._shards]
         self._offsets = np.cumsum([0] + self._sizes)
 
@@ -297,7 +308,12 @@ class VoxelPackDataset:
                       else [pattern])
         if not self.paths:
             raise FileNotFoundError(pattern)
-        self._shards = [np.load(p) for p in self.paths]
+        # decompress once per shard (uint8 grids; npz member indexing
+        # re-decompresses the whole member on every access)
+        self._shards = []
+        for p in self.paths:
+            with np.load(p) as z:
+                self._shards.append({"voxel": z["voxel"]})
         self._sizes = [s["voxel"].shape[0] for s in self._shards]
         self._offsets = np.cumsum([0] + self._sizes)
         self.grid_size = int(self._shards[0]["voxel"].shape[1])

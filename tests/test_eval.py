@@ -234,3 +234,22 @@ def test_evaluate_population_semantics_match_reference():
     assert m["qed_mean"] is not None and m["lipinski_mean"] is not None
     # ring ratio over complete mols: 1 of 2 has a 6-ring
     assert m["ring_size_ratio"][6] == pytest.approx(0.5)
+
+
+def test_ff_relax_rmsd():
+    """FF-relaxation RMSD (reference get_rdkit_rmsd equivalent,
+    scoring_func.py:39-63): clean geometry relaxes with small RMSD; noisy
+    geometry shows larger strain."""
+    from shapemol_tpu.eval.relax import ff_relax_rmsd, kabsch_rmsd
+    m = ethanol()
+    r = ff_relax_rmsd(m, steps=150)
+    assert r is not None and 0 <= r < 0.35
+    noisy = Molecule(m.atomic_nums,
+                     m.pos + np.array([[0.0, 0, 0], [0.35, 0, 0],
+                                       [0, -0.3, 0.2]]),
+                     m.bonds)
+    rn = ff_relax_rmsd(noisy, steps=150)
+    assert rn is not None and rn > r
+    # kabsch on a rotated copy is ~0
+    Q = np.array([[0, 1, 0], [-1, 0, 0], [0, 0, 1.0]])
+    assert kabsch_rmsd(m.pos, m.pos @ Q) < 1e-6
