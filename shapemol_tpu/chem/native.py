@@ -86,3 +86,71 @@ def count_voxels_native(pos: np.ndarray, radii: np.ndarray,
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         radii.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         len(radii), float(grid_resolution), float(max_dist)))
+
+
+# ---------------------------------------------------------------------------
+# surface extraction (csrc/surface.cpp)
+# ---------------------------------------------------------------------------
+
+_SURF_LIB = None
+_SURF_TRIED = False
+
+
+def _build_and_load_surface() -> Optional[ctypes.CDLL]:
+    global _SURF_LIB, _SURF_TRIED
+    if _SURF_LIB is not None or _SURF_TRIED:
+        return _SURF_LIB
+    _SURF_TRIED = True
+    src = os.path.join(_CSRC, "surface.cpp")
+    so = os.path.join(_CSRC, "libsurface.so")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                           check=True, capture_output=True, timeout=180)
+        lib = ctypes.CDLL(so)
+        lib.surface_mesh.restype = ctypes.c_int
+        lib.surface_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        _SURF_LIB = lib
+    except Exception:
+        _SURF_LIB = None
+    return _SURF_LIB
+
+
+def surface_mesh_native(pos: np.ndarray, radii_inflated: np.ndarray,
+                        spacing: float = 0.5, padding: float = 4.0
+                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native marching-tetrahedra isosurface of the probe-inflated vdW
+    field. radii_inflated = r_vdw + probe. Returns (verts, faces) or None
+    when the library is unavailable."""
+    lib = _build_and_load_surface()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.float64)
+    radii = np.ascontiguousarray(radii_inflated, dtype=np.float64)
+    max_v, max_f = 200_000, 400_000
+    for _ in range(3):
+        verts = np.empty((max_v, 3), dtype=np.float64)
+        faces = np.empty((max_f, 3), dtype=np.int32)
+        n_v = ctypes.c_int(0)
+        n_f = ctypes.c_int(0)
+        rc = lib.surface_mesh(
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            radii.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(radii), float(spacing), float(padding),
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            max_v, max_f, ctypes.byref(n_v), ctypes.byref(n_f))
+        if rc == 0:
+            return verts[:n_v.value].copy(), faces[:n_f.value].astype(
+                np.int64)
+        if rc == 1:                       # buffers too small — grow
+            max_v, max_f = max_v * 4, max_f * 4
+            continue
+        return None
+    return None

@@ -59,9 +59,10 @@ def main():
                                                           num_classes)
     sched = model_cfg.make_schedule()
 
-    pack_pattern = args.test_pack or os.path.join(
-        cfg.data.get("processed_path", "./processed_data"),
-        f"shapemol_{cfg.data.get('version', 'v1')}.*.npz")
+    pack_pattern = args.test_pack or cfg.data.get("pack_pattern") \
+        or os.path.join(
+            cfg.data.get("processed_path", "./processed_data"),
+            f"shapemol_{cfg.data.get('version', 'v1')}.*.npz")
     test_set = PackDataset(pack_pattern)
 
     target_ids = list(range(args.start, min(args.end, len(test_set))))
@@ -98,6 +99,7 @@ def main():
         return out["pos"], out["v"], mask
 
     results = {t: [] for t in target_ids}
+    vox_cache = {}
     rng = jax.random.PRNGKey(cfg.sample.seed)
     t_start = time.perf_counter()
     n_done = 0
@@ -110,11 +112,17 @@ def main():
         ref_counts = np.array([int(d["node_mask"].sum()) for d in data])
         if prior is not None:
             from shapemol_tpu.geom.voxel import voxel_count
-            counts = np.array([prior.sample(
-                voxel_count(np.asarray(vocab.get_atomic_numbers(
-                    d["v"][d["node_mask"]], atom_mode)),
-                    d["pos"][d["node_mask"]]), 1, rng_np)[0]
-                for d in data])
+            # voxel counts are per TARGET — cache so the 45^3 grid is
+            # painted once per target, not once per batch row
+            for t, _ in chunk:
+                if t not in vox_cache:
+                    d = test_set[t]
+                    vox_cache[t] = voxel_count(
+                        np.asarray(vocab.get_atomic_numbers(
+                            d["v"][d["node_mask"]], atom_mode)),
+                        d["pos"][d["node_mask"]])
+            counts = np.array([prior.sample(vox_cache[t], 1, rng_np)[0]
+                               for t, _ in chunk])
         else:
             counts = ref_counts
         counts = np.clip(counts, 3, N)

@@ -130,3 +130,22 @@ def test_sdf_grid_for_guidance():
     # center voxel inside, corner outside
     assert grid[16, 16, 16] < 0
     assert grid[0, 0, 0] > 0
+
+
+def test_native_surface_matches_numpy():
+    """csrc/surface.cpp vs the numpy marching-tetrahedra path: identical
+    vertex/face counts and coincident geometry (same 6-tet split, same
+    interpolation)."""
+    from shapemol_tpu.chem.native import surface_mesh_native
+    if surface_mesh_native(np.zeros((1, 3)), np.array([1.9])) is None:
+        import pytest
+        pytest.skip("native surface library unavailable")
+    z = np.array([6, 7, 8, 6, 6])
+    rng = np.random.default_rng(3)
+    pos = rng.standard_normal((5, 3)) * 1.5
+    v1, f1 = srf.get_mesh(z, pos, use_native=False)
+    v2, f2 = srf.get_mesh(z, pos, use_native=True)
+    assert len(v1) == len(v2) and len(f1) == len(f2)
+    from scipy.spatial import cKDTree
+    assert cKDTree(v1).query(v2)[0].max() < 1e-9
+    assert cKDTree(v2).query(v1)[0].max() < 1e-9
