@@ -24,6 +24,11 @@ from shapemol_tpu.chem.reconstruct import reconstruct_from_generated, MolReconsE
 
 
 def main():
+    # evaluation is pure host work (reconstruction, fingerprints, alignment);
+    # never claim the TPU — a busy chip would block this process forever
+    # (single-process TPU lock), and CPU is what the metrics need
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     misc.enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("result_dir")
