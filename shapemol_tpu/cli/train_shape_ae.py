@@ -44,6 +44,8 @@ def main():
                    help="generate N synthetic molecules instead of reading "
                         "data.path (smoke runs)")
     p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir (…/checkpoints) to resume from")
     args = p.parse_args()
 
     cfg = load_config(args.config)
@@ -113,8 +115,19 @@ def main():
     max_iters = args.max_iters or cfg.train.max_iters
     val_freq = args.val_freq or cfg.train.val_freq
     best_val = float("inf")
+    start_it = 1
+    if args.resume:
+        from shapemol_tpu.core.checkpoint import restore_checkpoint
+        state, meta = restore_checkpoint(args.resume, state)
+        start_it = int(meta.get("step", 0)) + 1
+        for k, v in (meta.get("scheduler") or {}).items():
+            if hasattr(sched, k):
+                setattr(sched, k, type(getattr(sched, k))(float(v)))
+        best_val = float((meta.get("scheduler") or {}).get("best", best_val))
+        logger.info(f"resumed from {args.resume} at it {start_it - 1} "
+                    f"(lr {get_learning_rate(state):.2e})")
 
-    for it in range(1, max_iters + 1):
+    for it in range(start_it, max_iters + 1):
         idxs = rng_np.choice(train_idx, size=bs,
                              replace=len(train_idx) < bs)
         batch = dataset.batch(idxs, point_batch_size=pbs, rng=rng_np)

@@ -218,6 +218,8 @@ def x2h_attention_pallas(q: Array, k: Array, v: Array, e_w: Array,
         out_specs=pl.BlockSpec((1, TN, H), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G_, TN, H), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q2, k2, v2, ew2, mf)
     return out.reshape(B, N, H)
@@ -262,6 +264,8 @@ def h2x_attention_pallas(q: Array, k: Array, hv: Array, wv: Array, bv: Array,
         out_specs=pl.BlockSpec((1, TN, n_heads * 3), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G_, TN, n_heads * 3), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q2, k2, hv2, wv, bv2, ew2, rx2, mf)
     return out.reshape(B, N, n_heads, 3)

@@ -270,6 +270,8 @@ def edge_block_pallas(params: Dict[str, Array], x: Array,
         ],
         out_specs=vm((1, TN, out_cols), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((G_, TN, out_cols), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x2, df, hs, q2, idx_flat, ew2, mf, centers,
       params["w_dst"], b2(params["b_dst"]), params["w_src"],

@@ -207,6 +207,11 @@ def fused_layer_pallas(params, x, h, invar, idx, e_w, nbr_mask,
                    vm((1, TN, n_heads * 3), lambda b: (b, 0, 0))),
         out_shape=(jax.ShapeDtypeStruct((G_, TN, H), jnp.float32),
                    jax.ShapeDtypeStruct((G_, TN, n_heads * 3), jnp.float32)),
+        # T=8 tiles overflow the default 16M scoped-vmem budget (the
+        # indicator matrices + pipeline buffers); v5e has 128M VMEM, so
+        # give the kernel an explicit 64M ceiling
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x2, h2, iv, idx_flat, ew2, mf, centers, *flat_w)
     return (h_new.reshape(B, N, H),
