@@ -170,35 +170,34 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
                          lnv_b_ref[:].astype(f32)), 0.0)
     k = mdot(hk, woutk_ref[:]) + boutk_ref[:].astype(f32)
 
-    # ---- attention core
-    head_sum = _indicator((H, n_heads), lambda r, c: r // dh == c)
+    # ---- attention core (indicator matmuls also honor mm_dtype: the 0/1
+    # matrices are exact in bf16 and the payloads match mdot's rounding)
+    head_sum = _indicator((H, n_heads), lambda r, c: r // dh == c, dtype=md)
     q_rep = mdot(GT, q_ref[0])
-    logits = jax.lax.dot(q_rep * k, head_sum,
-                         preferred_element_type=f32) / np.sqrt(dh)
+    logits = mdot(q_rep * k, head_sum) / np.sqrt(dh)
     mf = mask_ref[0]
     masked = logits * mf + (1.0 - mf) * NEG
     masked -= jnp.max(masked)
     expd = jnp.exp(masked) * mf
-    denom = jax.lax.dot(GT, jax.lax.dot(G, expd,
-                                        preferred_element_type=f32),
-                        preferred_element_type=f32)
+    denom = mdot(GT, mdot(G, expd))
     alpha = expd / jnp.maximum(denom, 1e-20)                   # (TNK, heads)
 
     v = mdot(hv, woutv_ref[:]) + boutv_ref[:].astype(f32)
     if mode == "x2h":
         v = v * ew_ref[0]                                      # (TNK, H)
-        alpha_full = jax.lax.dot(alpha, head_sum.T,
-                                 preferred_element_type=f32)
-        msg = jax.lax.dot(G, alpha_full * v, preferred_element_type=f32)
+        alpha_full = mdot(alpha, head_sum.T)
+        msg = mdot(G, alpha_full * v)
         out_ref[0] = msg.astype(out_ref.dtype)
     else:
         v_s = v * ew_ref[0]                                    # (TNK, heads)
         w = alpha * v_s
-        E_w = _indicator((n_heads, n_heads * 3), lambda r, c: c // 3 == r)
-        E_r = _indicator((3, n_heads * 3), lambda r, c: c % 3 == r)
-        w_exp = jax.lax.dot(w, E_w, preferred_element_type=f32)
-        r_exp = jax.lax.dot(rel_x, E_r, preferred_element_type=f32)
-        msg = jax.lax.dot(G, w_exp * r_exp, preferred_element_type=f32)
+        E_w = _indicator((n_heads, n_heads * 3), lambda r, c: c // 3 == r,
+                         dtype=md)
+        E_r = _indicator((3, n_heads * 3), lambda r, c: c % 3 == r,
+                         dtype=md)
+        w_exp = mdot(w, E_w)
+        r_exp = mdot(rel_x, E_r)
+        msg = mdot(G, w_exp * r_exp)
         out_ref[0] = msg.astype(out_ref.dtype)
 
 

@@ -85,22 +85,29 @@ def _layer_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
         return jax.lax.dot(a.astype(md), b.astype(md),
                            preferred_element_type=f32)
 
+    # indicator (gather/scatter/reduce) matmuls carry ~3/4 of the kernel's
+    # MXU work; v5e emulates f32 matmuls at a fraction of the bf16 rate, so
+    # under mm_dtype=bfloat16 they run in bf16 too (the 0/1 indicator is
+    # exact in bf16; the payload rounding matches the mdot activations)
+    idot = mdot
+
     def mlp2(g, xx):
         hh = mdot(xx, g["w0"][:]) + g["b0"][:].astype(f32)
         hh = jnp.maximum(_ln(hh, g["ln_s"][:].astype(f32),
                              g["ln_b"][:].astype(f32)), 0.0)
         return mdot(hh, g["w1"][:]) + g["b1"][:].astype(f32)
 
-    G = _indicator((TN, TNK), lambda r, c: c // K == r)
-    GT = _indicator((TNK, TN), lambda r, c: r // K == c)
+    G = _indicator((TN, TNK), lambda r, c: c // K == r, dtype=md)
+    GT = _indicator((TNK, TN), lambda r, c: r // K == c, dtype=md)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TNK, TN), 1)
-    P = (cols == idx_ref[0]).astype(f32)
-    head_sum = _indicator((H, n_heads), lambda r, c: r // dh == c)
+    P = (cols == idx_ref[0]).astype(md)
+    head_sum = _indicator((H, n_heads), lambda r, c: r // dh == c, dtype=md)
 
-    # geometry + RBF once per layer
+    # geometry + RBF once per layer — kept in f32: bf16 positions would
+    # round to ~0.03 A at the box edge, a visible bias on the RBF features
     x = x_ref[0].astype(f32)
-    rel_x = jax.lax.dot(GT, x, preferred_element_type=f32) \
-        - jax.lax.dot(P, x, preferred_element_type=f32)
+    rel_x = jax.lax.dot(GT.astype(f32), x, preferred_element_type=f32) \
+        - jax.lax.dot(P.astype(f32), x, preferred_element_type=f32)
     dist = jnp.sqrt(jnp.sum((rel_x + 1e-12) ** 2, axis=-1, keepdims=True))
     _, coeff = _rbf_centers_coeff(num_rbf, r_max)
     r_feat = jnp.exp(coeff * (dist - centers_ref[:]) ** 2)
@@ -111,37 +118,32 @@ def _layer_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
         dst = mdot(dst_feats, g["w_dst"][:]) + g["b_dst"][:].astype(f32)
         src = mdot(h_src, g["w_src"][:])
         joint = (mdot(r_feat, g["w_rbf"][:])
-                 + jax.lax.dot(P, src, preferred_element_type=f32)
-                 + jax.lax.dot(GT, dst, preferred_element_type=f32))
+                 + idot(P, src) + idot(GT, dst))
         hk = jnp.maximum(_ln(joint[:, :H], g["ln_k_scale"][:].astype(f32),
                              g["ln_k_bias"][:].astype(f32)), 0.0)
         hv = jnp.maximum(_ln(joint[:, H:], g["ln_v_scale"][:].astype(f32),
                              g["ln_v_bias"][:].astype(f32)), 0.0)
         k = mdot(hk, g["w_out_k"][:]) + g["b_out_k"][:].astype(f32)
-        q_rep = jax.lax.dot(GT, q, preferred_element_type=f32)
-        logits = jax.lax.dot(q_rep * k, head_sum,
-                             preferred_element_type=f32) / np.sqrt(dh)
+        q_rep = idot(GT, q)
+        logits = idot(q_rep * k, head_sum) / np.sqrt(dh)
         masked = logits * mf + (1.0 - mf) * NEG
         masked -= jnp.max(masked)
         expd = jnp.exp(masked) * mf
-        denom = jax.lax.dot(GT, jax.lax.dot(G, expd,
-                                            preferred_element_type=f32),
-                            preferred_element_type=f32)
+        denom = idot(GT, idot(G, expd))
         alpha = expd / jnp.maximum(denom, 1e-20)
         v = mdot(hv, g["w_out_v"][:]) + g["b_out_v"][:].astype(f32)
         if mode == "x2h":
             v = v * ew
-            alpha_full = jax.lax.dot(alpha, head_sum.T,
-                                     preferred_element_type=f32)
-            return jax.lax.dot(G, alpha_full * v,
-                               preferred_element_type=f32)      # (TN, H)
+            alpha_full = idot(alpha, head_sum.T)
+            return idot(G, alpha_full * v)                      # (TN, H)
         w_ = alpha * (v * ew)
-        E_w = _indicator((n_heads, n_heads * 3), lambda r, c: c // 3 == r)
-        E_r = _indicator((3, n_heads * 3), lambda r, c: c % 3 == r)
-        w_exp = jax.lax.dot(w_, E_w, preferred_element_type=f32)
-        r_exp = jax.lax.dot(rel_x, E_r, preferred_element_type=f32)
-        return jax.lax.dot(G, w_exp * r_exp,
-                           preferred_element_type=f32)          # (TN, 3h)
+        E_w = _indicator((n_heads, n_heads * 3), lambda r, c: c // 3 == r,
+                         dtype=md)
+        E_r = _indicator((3, n_heads * 3), lambda r, c: c % 3 == r,
+                         dtype=md)
+        w_exp = idot(w_, E_w)
+        r_exp = idot(rel_x, E_r)
+        return idot(G, w_exp * r_exp)                           # (TN, 3h)
 
     h = h_ref[0].astype(f32)
     invar = invar_ref[0].astype(f32)

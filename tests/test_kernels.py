@@ -133,9 +133,7 @@ def test_edge_block_pallas_matches_xla_interpret():
                                atol=2e-4)
 
 
-def test_fused_layer_pallas_matches_xla_interpret():
-    from shapemol_tpu.kernels.fused_layer import (fused_layer_pallas,
-                                                  fused_layer_xla)
+def _fused_layer_case():
     rng = np.random.default_rng(6)
     B, N, K, H, heads, S, R = 2, 8, 4, 32, 4, 8, 20
 
@@ -177,6 +175,13 @@ def test_fused_layer_pallas_matches_xla_interpret():
     e_w = jnp.asarray(rng.random((B, N, K, 1)), jnp.float32)
     mask = jnp.asarray(rng.random((B, N, K)) < 0.8)
 
+    return params, x, h, invar, idx, e_w, mask, heads, R
+
+
+def test_fused_layer_pallas_matches_xla_interpret():
+    from shapemol_tpu.kernels.fused_layer import (fused_layer_pallas,
+                                                  fused_layer_xla)
+    params, x, h, invar, idx, e_w, mask, heads, R = _fused_layer_case()
     h_xla, m_xla = fused_layer_xla(params, x, h, invar, idx, e_w, mask,
                                    heads, num_rbf=R)
     h_pl, m_pl = fused_layer_pallas(params, x, h, invar, idx, e_w, mask,
@@ -185,3 +190,23 @@ def test_fused_layer_pallas_matches_xla_interpret():
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(m_pl), np.asarray(m_xla),
                                atol=3e-4)
+
+
+def test_fused_layer_bf16_indicators_close_to_f32():
+    """mm_dtype='bfloat16' runs the weight AND indicator matmuls in bf16
+    (f32 accumulate); outputs must stay within bf16 rounding of the f32
+    XLA reference."""
+    from shapemol_tpu.kernels.fused_layer import (fused_layer_pallas,
+                                                  fused_layer_xla)
+    params, x, h, invar, idx, e_w, mask, heads, R = _fused_layer_case()
+    h_xla, m_xla = fused_layer_xla(params, x, h, invar, idx, e_w, mask,
+                                   heads, num_rbf=R)
+    h_pl, m_pl = fused_layer_pallas(params, x, h, invar, idx, e_w, mask,
+                                    heads, num_rbf=R,
+                                    mm_dtype="bfloat16", interpret=True)
+    scale_h = np.max(np.abs(np.asarray(h_xla)))
+    scale_m = np.max(np.abs(np.asarray(m_xla)))
+    assert np.max(np.abs(np.asarray(h_pl) - np.asarray(h_xla))) \
+        < 0.05 * scale_h
+    assert np.max(np.abs(np.asarray(m_pl) - np.asarray(m_xla))) \
+        < 0.05 * scale_m
