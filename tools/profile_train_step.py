@@ -72,7 +72,29 @@ def timeit(fn, *a, n=20):
 
 
 rng = jax.random.PRNGKey(1)
-t_full = timeit(lambda: step(state, rng, batch)[1])
+
+
+def timeit_train(n=20):
+    # the train step DONATES its state argument (real on TPU, a no-op on
+    # CPU) — thread the returned state through, time the whole chain
+    s, _ = step(state, rng, batch)
+    jax.tree_util.tree_leaves(s.params)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        s, _ = step(s, rng, batch)
+    jax.tree_util.tree_leaves(s.params)[0].block_until_ready()
+    return (time.perf_counter() - t0) / n
+
+
+params_host = jax.device_get(variables["params"])
+bs_host = jax.device_get(variables.get("batch_stats"))
+t_full = timeit_train()
+# rebuild an undonated state for the fwd-only measurement (the original
+# device buffers were consumed by the donating train step)
+state = create_train_state(
+    jax.tree_util.tree_map(jnp.asarray, params_host),
+    None if bs_host is None
+    else jax.tree_util.tree_map(jnp.asarray, bs_host), tx)
 try:
     t_fwd = timeit(lambda: fwd_loss(state, rng, batch))
 except Exception as e:
