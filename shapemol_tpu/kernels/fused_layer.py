@@ -145,8 +145,12 @@ def _layer_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
         r_exp = idot(rel_x, E_r)
         return idot(G, w_exp * r_exp)                           # (TN, 3h)
 
-    h = h_ref[0].astype(f32)
-    invar = invar_ref[0].astype(f32)
+    # keep activations in the matmul dtype when the refs arrive that way
+    # (genuine bf16 VMEM data — an astype(f32) here would re-promote and
+    # let the compiler run the dots at the slow f32 MXU rate)
+    h = h_ref[0] if h_ref.dtype == md else h_ref[0].astype(f32)
+    invar = (invar_ref[0] if invar_ref.dtype == md
+             else invar_ref[0].astype(f32))
     dst1 = jnp.concatenate([h, invar], axis=-1)
     q1 = mlp2(p["hq"], h)
     msg1 = edge_attention(p["x2h"], dst1, h, q1, "x2h")
@@ -185,6 +189,19 @@ def fused_layer_pallas(params, x, h, invar, idx, e_w, nbr_mask,
     flat_w = _flatten_params(params)
     b2 = lambda a: a.reshape(1, -1) if a.ndim == 1 else a
     flat_w = [b2(a) for a in flat_w]
+    if mm_dtype == "bfloat16":
+        # feed the matmul operands to the kernel AS bf16 VMEM data: an
+        # astype inside the kernel gets folded by the compiler into an
+        # f32-rate dot, so the cast must happen on the host-side arrays
+        # (weight matrices + scalar activations; biases/LN/geometry stay
+        # f32)
+        mm_keys = {"w0", "w1", "w_dst", "w_src", "w_rbf", "w_out_k",
+                   "w_out_v"}
+        flat_keys = [k for _, keys in _GROUPS for k in keys]
+        flat_w = [a.astype(jnp.bfloat16) if k in mm_keys else a
+                  for k, a in zip(flat_keys, flat_w)]
+        h2 = h2.astype(jnp.bfloat16)
+        iv = iv.astype(jnp.bfloat16)
     vm = lambda shape, imap: pl.BlockSpec(shape, imap,
                                           memory_space=pltpu.VMEM)
     bcast = lambda b: (0, 0)
