@@ -204,6 +204,10 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
 def _tile(B: int, N: int, K: int) -> int:
     # indicator-matmul cost grows ~T^2 while program count falls ~1/T:
     # measured optimum on v5e is T=5 for (N=32, K=8); T=10 was 20% slower
+    import os
+    forced = os.environ.get("SHAPEMOL_TILE")
+    if forced and B % int(forced) == 0:
+        return int(forced)
     for t in (8, 5, 4, 2, 1):
         if B % t == 0 and (t * N) * (t * N * K) * 4 <= 4 * 1024 * 1024:
             return t
