@@ -230,7 +230,8 @@ def fused_layer_pallas(params, x, h, invar, idx, e_w, nbr_mask,
         # indicator matrices + pipeline buffers); v5e has 128M VMEM, so
         # give the kernel an explicit 64M ceiling
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(x2, h2, iv, idx_flat, ew2, mf, centers, *flat_w)
     return (h_new.reshape(B, N, H),
