@@ -142,16 +142,25 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
         return jax.lax.dot(a.astype(md), b.astype(md),
                            preferred_element_type=f32)
 
-    G = _indicator((TN, TNK), lambda r, c: c // K == r)
-    GT = _indicator((TNK, TN), lambda r, c: r // K == c)
+    # dst-major K-minor edge rows: dst-side "G^T @ z" is a regular
+    # repeat-each-row broadcast, "G @ z" is a reshape-sum over K slots;
+    # only the neighbor gather P @ src is a true indicator matmul
+    # (round-3 regularization — see kernels/fused_layer.py)
+    def rep_rows(z):
+        TNc, C = z.shape
+        return jnp.broadcast_to(z[:, None, :], (TNc, K, C)).reshape(TNK, C)
+
+    def gsum(z):
+        C = z.shape[-1]
+        return jnp.sum(z.reshape(TN, K, C), axis=1)
+
     cols = jax.lax.broadcasted_iota(jnp.int32, (TNK, TN), 1)
     P = (cols == idx_ref[0]).astype(f32)                       # gather matrix
 
     # ---- neighbor geometry + RBF expansion (all VMEM-resident)
     x = x_ref[0].astype(f32)                                   # (TN, 3)
     nbr_x = jax.lax.dot(P, x, preferred_element_type=f32)      # (TNK, 3)
-    dst_x = jax.lax.dot(GT, x, preferred_element_type=f32)
-    rel_x = dst_x - nbr_x                                      # (TNK, 3)
+    rel_x = rep_rows(x) - nbr_x                                # (TNK, 3)
     dist = jnp.sqrt(jnp.sum((rel_x + 1e-12) ** 2, axis=-1,
                             keepdims=True))                    # (TNK, 1)
     _, coeff = _rbf_centers_coeff(num_rbf, r_max)
@@ -160,33 +169,31 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
     # ---- decomposed edge MLP
     dst = mdot(dst_ref[0], wdst_ref[:]) + bdst_ref[:].astype(f32)
     src = mdot(src_ref[0], wsrc_ref[:])                        # (TN, 2H)
-    src_g = mdot(P, src)
-    dst_g = mdot(GT, dst)
+    src_g = mdot(P.astype(md), src)
     edge = mdot(r_feat, wrbf_ref[:])                           # (TNK, 2H)
-    joint = edge + src_g + dst_g
+    joint = edge + src_g + rep_rows(dst)
     hk = jnp.maximum(_ln(joint[:, :H], lnk_s_ref[:].astype(f32),
                          lnk_b_ref[:].astype(f32)), 0.0)
     hv = jnp.maximum(_ln(joint[:, H:], lnv_s_ref[:].astype(f32),
                          lnv_b_ref[:].astype(f32)), 0.0)
     k = mdot(hk, woutk_ref[:]) + boutk_ref[:].astype(f32)
 
-    # ---- attention core (indicator matmuls also honor mm_dtype: the 0/1
-    # matrices are exact in bf16 and the payloads match mdot's rounding)
+    # ---- attention core
     head_sum = _indicator((H, n_heads), lambda r, c: r // dh == c, dtype=md)
-    q_rep = mdot(GT, q_ref[0])
+    q_rep = rep_rows(q_ref[0].astype(f32))
     logits = mdot(q_rep * k, head_sum) / np.sqrt(dh)
     mf = mask_ref[0]
     masked = logits * mf + (1.0 - mf) * NEG
     masked -= jnp.max(masked)
     expd = jnp.exp(masked) * mf
-    denom = mdot(GT, mdot(G, expd))
+    denom = rep_rows(gsum(expd))
     alpha = expd / jnp.maximum(denom, 1e-20)                   # (TNK, heads)
 
     v = mdot(hv, woutv_ref[:]) + boutv_ref[:].astype(f32)
     if mode == "x2h":
         v = v * ew_ref[0]                                      # (TNK, H)
         alpha_full = mdot(alpha, head_sum.T)
-        msg = mdot(G, alpha_full * v)
+        msg = gsum(alpha_full * v)
         out_ref[0] = msg.astype(out_ref.dtype)
     else:
         v_s = v * ew_ref[0]                                    # (TNK, heads)
@@ -197,18 +204,33 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
                          dtype=md)
         w_exp = mdot(w, E_w)
         r_exp = mdot(rel_x, E_r)
-        msg = mdot(G, w_exp * r_exp)
+        msg = gsum(w_exp * r_exp)
         out_ref[0] = msg.astype(out_ref.dtype)
 
 
 def _tile(B: int, N: int, K: int) -> int:
-    # indicator-matmul cost grows ~T^2 while program count falls ~1/T:
-    # measured optimum on v5e is T=5 for (N=32, K=8); T=10 was 20% slower
+    # indicator-matmul cost grows ~T^2 while program count falls ~1/T.
+    # Round-3 re-measure (dst-side ops regularized; only P@src remains a
+    # true indicator): T=4 puts the gather's contraction dim at T*N=128 —
+    # exactly one MXU K-tile — and measured fastest.
     import os
     forced = os.environ.get("SHAPEMOL_TILE")
-    if forced and B % int(forced) == 0:
-        return int(forced)
-    for t in (8, 5, 4, 2, 1):
+    if forced:
+        try:
+            t = int(forced)
+        except ValueError:
+            import warnings
+            warnings.warn(f"ignoring non-integer SHAPEMOL_TILE={forced!r}")
+            t = 0
+        if t > 0 and B % t == 0:
+            if (t * N) * (t * N * K) * 4 > 56 * 1024 * 1024:
+                import warnings
+                warnings.warn(
+                    f"SHAPEMOL_TILE={t}: indicator matrices exceed the "
+                    f"56MB VMEM working-set bound; ignoring override")
+            else:
+                return t
+    for t in (4, 8, 5, 2, 1):
         if B % t == 0 and (t * N) * (t * N * K) * 4 <= 4 * 1024 * 1024:
             return t
     return 1

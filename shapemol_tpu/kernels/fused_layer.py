@@ -85,10 +85,6 @@ def _layer_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
         return jax.lax.dot(a.astype(md), b.astype(md),
                            preferred_element_type=f32)
 
-    # indicator (gather/scatter/reduce) matmuls carry ~3/4 of the kernel's
-    # MXU work; v5e emulates f32 matmuls at a fraction of the bf16 rate, so
-    # under mm_dtype=bfloat16 they run in bf16 too (the 0/1 indicator is
-    # exact in bf16; the payload rounding matches the mdot activations)
     idot = mdot
 
     def mlp2(g, xx):
@@ -97,8 +93,21 @@ def _layer_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
                              g["ln_b"][:].astype(f32)), 0.0)
         return mdot(hh, g["w1"][:]) + g["b1"][:].astype(f32)
 
-    G = _indicator((TN, TNK), lambda r, c: c // K == r, dtype=md)
-    GT = _indicator((TNK, TN), lambda r, c: r // K == c, dtype=md)
+    # round-3 structure note: edge rows are DST-major, K-minor, so every
+    # dst-side operation is REGULAR — "G^T @ z" is a repeat-each-row-K
+    # broadcast and "G @ z" is a reshape + sum over the K slots, both
+    # cheap relayouts instead of MXU passes. The only true irregular op is
+    # the neighbor gather P @ src (P is the 0/1 one-hot of idx); measured
+    # ablations (STATUS round 3) show the kernel sits near its MXU
+    # pass-structure limit once these are regularized.
+    def rep_rows(z):              # (TN, C) -> (TNK, C), row e = z[e // K]
+        TNc, C = z.shape
+        return jnp.broadcast_to(z[:, None, :], (TNc, K, C)).reshape(TNK, C)
+
+    def gsum(z):                  # (TNK, C) -> (TN, C) sum over K slots
+        C = z.shape[-1]
+        return jnp.sum(z.reshape(TN, K, C), axis=1)
+
     cols = jax.lax.broadcasted_iota(jnp.int32, (TNK, TN), 1)
     P = (cols == idx_ref[0]).astype(md)
     head_sum = _indicator((H, n_heads), lambda r, c: r // dh == c, dtype=md)
@@ -106,7 +115,7 @@ def _layer_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
     # geometry + RBF once per layer — kept in f32: bf16 positions would
     # round to ~0.03 A at the box edge, a visible bias on the RBF features
     x = x_ref[0].astype(f32)
-    rel_x = jax.lax.dot(GT.astype(f32), x, preferred_element_type=f32) \
+    rel_x = rep_rows(x) \
         - jax.lax.dot(P.astype(f32), x, preferred_element_type=f32)
     dist = jnp.sqrt(jnp.sum((rel_x + 1e-12) ** 2, axis=-1, keepdims=True))
     _, coeff = _rbf_centers_coeff(num_rbf, r_max)
@@ -118,24 +127,24 @@ def _layer_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
         dst = mdot(dst_feats, g["w_dst"][:]) + g["b_dst"][:].astype(f32)
         src = mdot(h_src, g["w_src"][:])
         joint = (mdot(r_feat, g["w_rbf"][:])
-                 + idot(P, src) + idot(GT, dst))
+                 + idot(P, src) + rep_rows(dst))
         hk = jnp.maximum(_ln(joint[:, :H], g["ln_k_scale"][:].astype(f32),
                              g["ln_k_bias"][:].astype(f32)), 0.0)
         hv = jnp.maximum(_ln(joint[:, H:], g["ln_v_scale"][:].astype(f32),
                              g["ln_v_bias"][:].astype(f32)), 0.0)
         k = mdot(hk, g["w_out_k"][:]) + g["b_out_k"][:].astype(f32)
-        q_rep = idot(GT, q)
+        q_rep = rep_rows(q)
         logits = idot(q_rep * k, head_sum) / np.sqrt(dh)
         masked = logits * mf + (1.0 - mf) * NEG
         masked -= jnp.max(masked)
         expd = jnp.exp(masked) * mf
-        denom = idot(GT, idot(G, expd))
+        denom = rep_rows(gsum(expd))
         alpha = expd / jnp.maximum(denom, 1e-20)
         v = mdot(hv, g["w_out_v"][:]) + g["b_out_v"][:].astype(f32)
         if mode == "x2h":
             v = v * ew
             alpha_full = idot(alpha, head_sum.T)
-            return idot(G, alpha_full * v)                      # (TN, H)
+            return gsum(alpha_full * v)                         # (TN, H)
         w_ = alpha * (v * ew)
         E_w = _indicator((n_heads, n_heads * 3), lambda r, c: c // 3 == r,
                          dtype=md)
@@ -143,7 +152,7 @@ def _layer_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
                          dtype=md)
         w_exp = idot(w_, E_w)
         r_exp = idot(rel_x, E_r)
-        return idot(G, w_exp * r_exp)                           # (TN, 3h)
+        return gsum(w_exp * r_exp)                              # (TN, 3h)
 
     # keep activations in the matmul dtype when the refs arrive that way
     # (genuine bf16 VMEM data — an astype(f32) here would re-promote and
@@ -253,6 +262,14 @@ def _fl_fwd(params, x, h, invar, idx, e_w, nbr_mask, n_heads, num_rbf,
 
 
 def _fl_bwd(n_heads, num_rbf, r_max, mm_dtype, res, g):
+    if mm_dtype == "bfloat16":
+        import warnings
+        warnings.warn(
+            "fused_layer: mm_dtype='bfloat16' under jax.grad pairs a bf16 "
+            "Pallas forward with an f32 XLA backward — gradients do not "
+            "match the computed loss and training destabilizes (measured, "
+            "STATUS round 2). Use dtype='float32' for training; bf16 is an "
+            "inference/sampling knob.", stacklevel=2)
     params, x, h, invar, idx, e_w, nbr_mask = res
     _, vjp = jax.vjp(
         lambda p, x_, h_, i_, e_: fused_layer_xla(

@@ -81,6 +81,14 @@ class DenoiserConfig:
     fuse_layer: bool = True             # whole-layer mega-kernel (applies
                                         # when num_x2h == num_h2x == 1 and
                                         # topology conditioning is off)
+    attention_impl: str = "indicator"   # indicator | dense. The dense
+                                        # masked N x N formulation
+                                        # (kernels/dense_layer.py) measured
+                                        # SLOWER than the indicator kernel
+                                        # (the N^2 row blowup quadruples the
+                                        # VPU-bound elementwise work —
+                                        # STATUS round 3); kept as an
+                                        # ablation/benchmark path
 
 
 def masked_softmax_k(logits: Array, nbr_mask: Array) -> Array:
@@ -332,12 +340,15 @@ class FusedAttentionLayer(nn.Module):
             "h2x": _EdgeParamHolder(d_dst, hd, cfg.num_r_gaussian, heads,
                                     name="h2x_0")(),
         }
-        from shapemol_tpu.kernels.fused_layer import fused_layer
-        h_new, msg = fused_layer(params, x, h, invar_shape, idx, e_w,
-                                 nbr_mask, heads,
-                                 num_rbf=cfg.num_r_gaussian, r_max=cfg.r_max,
-                                 mm_dtype=cfg.dtype,
-                                 use_pallas=cfg.use_pallas_attention)
+        if cfg.attention_impl == "dense":
+            from shapemol_tpu.kernels.dense_layer import dense_layer as _fl
+        else:
+            from shapemol_tpu.kernels.fused_layer import fused_layer as _fl
+        h_new, msg = _fl(params, x, h, invar_shape, idx, e_w,
+                         nbr_mask, heads,
+                         num_rbf=cfg.num_r_gaussian, r_max=cfg.r_max,
+                         mm_dtype=cfg.dtype,
+                         use_pallas=cfg.use_pallas_attention)
 
         # attention_residue: VN mix of (x, messages, shape latent)
         shp = jnp.broadcast_to(shape_emb[:, None, :, :],

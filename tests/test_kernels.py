@@ -210,3 +210,48 @@ def test_fused_layer_bf16_indicators_close_to_f32():
         < 0.05 * scale_h
     assert np.max(np.abs(np.asarray(m_pl) - np.asarray(m_xla))) \
         < 0.05 * scale_m
+
+
+def test_dense_layer_matches_xla_interpret():
+    """Round-3 dense masked N x N formulation == the sparse XLA reference
+    on real kNN graphs (distinct neighbors; dense_from_knn assumes a set)."""
+    from shapemol_tpu.kernels.dense_layer import (dense_layer_pallas,
+                                                  dense_from_knn)
+    from shapemol_tpu.kernels.fused_layer import fused_layer_xla
+    from shapemol_tpu.ops.knn import masked_knn
+    params, x, h, invar, _idx, e_w, _mask, heads, R = _fused_layer_case()
+    B, N = x.shape[:2]
+    rng = np.random.default_rng(5)
+    node_mask = jnp.asarray(np.arange(N)[None]
+                            < rng.integers(4, N + 1, B)[:, None])
+    idx, nbr_mask = masked_knn(x, node_mask, _idx.shape[-1])
+    h_xla, m_xla = fused_layer_xla(params, x, h, invar, idx, e_w, nbr_mask,
+                                   heads, num_rbf=R)
+    adj, ewd = dense_from_knn(idx, nbr_mask, e_w[..., 0])
+    h_d, m_d = dense_layer_pallas(params, x, h, invar, adj, ewd, heads,
+                                  num_rbf=R, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_d), np.asarray(h_xla),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(m_d), np.asarray(m_xla),
+                               atol=3e-4)
+
+
+def test_dense_layer_grad_path():
+    """dense_layer custom VJP differentiates through the XLA backward."""
+    import jax
+    from shapemol_tpu.kernels.dense_layer import dense_layer
+    from shapemol_tpu.ops.knn import masked_knn
+    params, x, h, invar, _idx, e_w, _mask, heads, R = _fused_layer_case()
+    B, N = x.shape[:2]
+    node_mask = jnp.ones((B, N), bool)
+    idx, nbr_mask = masked_knn(x, node_mask, _idx.shape[-1])
+
+    def loss(p):
+        hn, m = dense_layer(p, x, h, invar, idx, e_w, nbr_mask, heads,
+                            num_rbf=R, use_pallas=False)
+        return jnp.sum(hn ** 2) + jnp.sum(m ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(np.abs(np.asarray(l)).sum()) for l in leaves) > 0
