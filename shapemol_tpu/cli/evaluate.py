@@ -46,6 +46,10 @@ def main():
                         "evaluate_diffusion_sim.py:101-106)")
     p.add_argument("--out", default=None)
     p.add_argument("--max_targets", type=int, default=None)
+    p.add_argument("--eval_step", type=int, default=-1,
+                   help="trajectory index to evaluate (requires results "
+                        "sampled with --record_traj; -1 = final state — "
+                        "reference evaluate_diffusion_sim.py:135)")
     args = p.parse_args()
 
     logger = misc.get_logger("evaluate")
@@ -76,10 +80,19 @@ def main():
         data = np.load(f, allow_pickle=False)
         tid = int(data["data_id"])
         atom_mode = str(data["atom_mode"])
+        use_traj = args.eval_step != -1
+        if use_traj and "pos_traj" not in data:
+            raise SystemExit(
+                f"--eval_step {args.eval_step} needs trajectories; re-run "
+                f"sampling with --record_traj ({f} has none)")
         samples = []
         for k in range(data["pos"].shape[0]):
             m = data["node_mask"][k]
-            samples.append((data["pos"][k][m], data["v"][k][m].tolist()))
+            if use_traj:
+                samples.append((data["pos_traj"][k][args.eval_step][m],
+                                data["v_traj"][k][args.eval_step][m].tolist()))
+            else:
+                samples.append((data["pos"][k][m], data["v"][k][m].tolist()))
         results[tid] = samples
         if test_mols is not None:
             references[tid] = test_mols[index_map[tid]]

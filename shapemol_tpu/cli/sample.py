@@ -45,11 +45,21 @@ def load_diffusion_model(ckpt_dir: str, num_classes: int):
                          jnp.zeros((B, N, 3)), jnp.zeros((B, N), jnp.int32),
                          jnp.ones((B, N), bool), jnp.zeros((B, S, 3)),
                          jnp.zeros((B,), jnp.int32))
-    template = create_train_state(variables["params"],
-                                  variables.get("batch_stats"),
-                                  make_optimizer())
-    state, _ = restore_checkpoint(ckpt_dir, template, step)
-    return net, model_cfg, {"params": state.params,
+    # checkpoints trained with train.ema_decay carry ema_params; sample
+    # from the EMA weights when available (standard diffusion practice)
+    try:
+        template = create_train_state(variables["params"],
+                                      variables.get("batch_stats"),
+                                      make_optimizer(), ema=True)
+        state, _ = restore_checkpoint(ckpt_dir, template, step)
+    except Exception:
+        template = create_train_state(variables["params"],
+                                      variables.get("batch_stats"),
+                                      make_optimizer())
+        state, _ = restore_checkpoint(ckpt_dir, template, step)
+    params = state.ema_params if getattr(state, "ema_params",
+                                         None) is not None else state.params
+    return net, model_cfg, {"params": params,
                             "batch_stats": state.batch_stats}, train_cfg
 
 
@@ -67,6 +77,11 @@ def main():
     p.add_argument("--max_atoms", type=int, default=48)
     p.add_argument("--atomnum_prior", default=None,
                    help="pickle with {voxel_count: {n_atoms: freq}}")
+    p.add_argument("--record_traj", action="store_true",
+                   help="store the full reverse trajectory (pos_traj/v_traj "
+                        "per sample) for --eval_step evaluation "
+                        "(reference pred_ligand_pos_traj, "
+                        "scripts/sample_diffusion.py:118-157)")
     args = p.parse_args()
 
     cfg = load_config(args.config)
@@ -132,6 +147,7 @@ def main():
         guidance=guidance,
         grad_step=cfg.sample.get("grad_step", 0),
         pointcloud_radius=cfg.sample.get("use_pointcloud_radius", 0.2),
+        record_traj=args.record_traj,
     )
 
     shape = jnp.asarray(np.tile(datum["shape_emb"][None], (bs, 1, 1)))
@@ -164,9 +180,12 @@ def main():
                                    rng, pos0, v0, mask, shape, scfg,
                                    bounds=bounds, cloud=cloud,
                                    sdf_grid=sdf_grid, sdf_origin=sdf_origin)
-        return out["pos"], out["v"], mask
+        traj = ((out["pos_traj"], out["v_traj"]) if args.record_traj
+                else (jnp.zeros((0,)), jnp.zeros((0,))))
+        return out["pos"], out["v"], mask, traj
 
     all_pos, all_v, all_mask, time_list = [], [], [], []
+    all_ptraj, all_vtraj = [], []
     rng = jax.random.PRNGKey(cfg.sample.seed + args.data_id)
     for b0 in range(0, num_samples, bs):
         rng, sub = jax.random.split(rng)
@@ -175,7 +194,7 @@ def main():
             counts = jnp.pad(counts, (0, bs - len(counts)),
                              constant_values=int(sample_counts[0]))
         t0 = time.perf_counter()
-        pos, v, mask = run(sub, counts)
+        pos, v, mask, (ptraj, vtraj) = run(sub, counts)
         pos.block_until_ready()
         dt = time.perf_counter() - t0
         time_list.append(dt)
@@ -183,9 +202,18 @@ def main():
         all_pos.append(np.asarray(pos)[:take])
         all_v.append(np.asarray(v)[:take])
         all_mask.append(np.asarray(mask)[:take])
+        if args.record_traj:
+            # scan stacks along time (steps, B, N, ...); store per-sample
+            # [num_samples, num_steps, ...] like the reference
+            all_ptraj.append(np.asarray(ptraj).swapaxes(0, 1)[:take])
+            all_vtraj.append(np.asarray(vtraj).swapaxes(0, 1)[:take])
         logger.info(f"batch {b0 // bs}: {take} molecules in {dt:.2f}s "
                     f"({take / dt:.2f} mol/s)")
 
+    extra = {}
+    if args.record_traj:
+        extra["pos_traj"] = np.concatenate(all_ptraj)
+        extra["v_traj"] = np.concatenate(all_vtraj)
     np.savez_compressed(
         out_file,
         pos=np.concatenate(all_pos), v=np.concatenate(all_v),
@@ -193,7 +221,7 @@ def main():
         ref_pos=datum["pos"], ref_v=datum["v"],
         ref_node_mask=datum["node_mask"],
         time_list=np.asarray(time_list), data_id=args.data_id,
-        atom_mode=atom_mode)
+        atom_mode=atom_mode, **extra)
     logger.info(f"saved {out_file}")
 
 

@@ -31,7 +31,7 @@ from shapemol_tpu.eval import atom_type as eval_atom
 from shapemol_tpu.eval import bond_length as eval_bond
 from shapemol_tpu.eval import scoring
 from shapemol_tpu.eval import similarity as sim
-from shapemol_tpu.eval.espsim import esp_sim
+from shapemol_tpu.eval import espsim
 from shapemol_tpu.eval.stability import check_stability
 
 
@@ -79,10 +79,14 @@ def _target_similarity(args) -> Dict:
         rocs = [sim.aligned_rocs(ref.pos, s.pos) for s in samples]
         out["rocs_mean"] = float(np.mean(rocs)) if rocs else None
         out["rocs_max"] = float(np.max(rocs)) if rocs else None
+        # ESP must be scored on the shape-ALIGNED pose (the reference's
+        # EmbedAlignScore path, utils/espsim/electrostatics.py:439-472);
+        # scoring raw sampler coordinates yields charge-overlap noise
+        # (round-2 esp_sim_mean 0.018 finding).
         esp = []
         for s in samples:
             try:
-                esp.append(esp_sim(s, ref))
+                esp.append(espsim.align_score(s, ref)[0])
             except Exception:
                 pass
         out["esp_sim_mean"] = float(np.mean(esp)) if esp else None

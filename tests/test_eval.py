@@ -253,3 +253,16 @@ def test_ff_relax_rmsd():
     # kabsch on a rotated copy is ~0
     Q = np.array([[0, 1, 0], [-1, 0, 0], [0, 0, 1.0]])
     assert kabsch_rmsd(m.pos, m.pos @ Q) < 1e-6
+
+
+def test_eval_esp_uses_aligned_pose():
+    """The per-target ESP metric must score the shape-ALIGNED pose
+    (espsim.align_score), not raw sampler coordinates: a rotated+translated
+    copy of the reference must come back with esp_sim_mean ~ 1 (reference
+    EmbedAlignScore semantics, utils/espsim/electrostatics.py:439-472)."""
+    from shapemol_tpu.eval.evaluate import _target_similarity, _mol_payload
+    m = ethanol()
+    Q, _ = np.linalg.qr(np.random.default_rng(7).standard_normal((3, 3)))
+    moved = Molecule(m.atomic_nums, m.pos @ Q + 3.0, m.bonds)
+    out = _target_similarity(([_mol_payload(moved)], _mol_payload(m)))
+    assert out["esp_sim_mean"] == pytest.approx(1.0, abs=0.05)
