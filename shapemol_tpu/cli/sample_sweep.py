@@ -42,15 +42,42 @@ def main():
     p.add_argument("--batch_size", type=int, default=100)
     p.add_argument("--max_atoms", type=int, default=48)
     p.add_argument("--atomnum_prior", default=None)
-    p.add_argument("--shard_index", type=int, default=0)
-    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--shard_index", type=int, default=None,
+                   help="target shard of this job (defaults to the "
+                        "process index under the multi-host runtime)")
+    p.add_argument("--num_shards", type=int, default=None)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 — joins the jax.distributed "
+                        "runtime and auto-shards targets per process "
+                        "(generation is embarrassingly parallel, so each "
+                        "process samples its own targets on its local "
+                        "devices; no cross-host collectives needed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first batch")
+    p.add_argument("--pad_costs",
+                   default=os.path.join(os.path.dirname(__file__), "..",
+                                        "sample", "pad_costs.json"),
+                   help="measured per-pad batch-cost table "
+                        "(tools/measure_pad_costs.py); buckets are derived "
+                        "from it by DP, else fall back to {16,24,32,max}")
     args = p.parse_args()
+
+    from shapemol_tpu.parallel import distributed as dist
+    dist.initialize(args.coordinator, args.num_processes, args.process_id)
+    pid, pcount = dist.process_shard()
+    if args.shard_index is None:
+        args.shard_index = pid
+    if args.num_shards is None:
+        args.num_shards = pcount
 
     cfg = load_config(args.config)
     misc.seed_all(cfg.sample.seed)
     logger = misc.get_logger("sample_sweep")
+    if pcount > 1:
+        logger.info(f"multi-host sweep: process {pid}/{pcount} handles "
+                    f"targets [{args.shard_index}::{args.num_shards}]")
     os.makedirs(args.result_path, exist_ok=True)
 
     atom_mode = cfg.data.get_path("transform.ligand_atom_mode", "add_aromatic")
@@ -107,7 +134,15 @@ def main():
                                for t, _ in work])
     counts_all = np.clip(counts_all, 3, N)
 
-    pad_sizes = sorted({min(N, p) for p in (16, 24, 32, N)})
+    from shapemol_tpu.sample.bucket_plan import (load_cost_table,
+                                                 plan_buckets)
+    cost_table = load_cost_table(args.pad_costs)
+    if cost_table is not None:
+        pad_sizes = plan_buckets(counts_all, B, cost_table, max_pad=N)
+        logger.info(f"bucket plan from measured pad costs "
+                    f"({args.pad_costs}): {pad_sizes}")
+    else:
+        pad_sizes = sorted({min(N, p) for p in (16, 24, 32, N)})
     buckets = {p: [] for p in pad_sizes}
     for item, c in zip(work, counts_all):
         nb = next(p for p in pad_sizes if c <= p)
@@ -161,11 +196,15 @@ def main():
         pos, v, mask = np.asarray(pos), np.asarray(v), np.asarray(mask)
         if n_pad < N:
             # one target's samples may span buckets — normalize to the
-            # global pad so the per-target stack is rectangular
+            # global pad so the per-target stack is rectangular. Padded v
+            # rows get sentinel -1 (not a valid atom class) so consumers
+            # that ignore node_mask cannot mistake padding for class-0
+            # atoms; pos/v are only meaningful where node_mask is set.
             w = N - n_pad
             pos = np.pad(pos, ((0, 0), (0, w), (0, 0)))
-            v = np.pad(v, ((0, 0), (0, w)))
+            v = np.pad(v, ((0, 0), (0, w)), constant_values=-1)
             mask = np.pad(mask, ((0, 0), (0, w)))
+        v = np.where(mask, v, -1)
         for row, ((t, s), _c) in enumerate(chunk[:B - fill]):
             results[t].append((pos[row], v[row], mask[row]))
         n_done += B - fill
