@@ -284,9 +284,12 @@ def main():
             for vb in val_batches:
                 jvb = {k: jnp.asarray(v) for k, v in vb.items()
                        if k in ("pos", "v", "node_mask", "shape_emb")}
+                # host-local eval on a fetched copy of the (replicated)
+                # global state — a local jit must not mix device sets
+                eval_state = (jax.device_get(state) if is_dist else state)
                 for t in val_ts:
                     rng, er = jax.random.split(rng)
-                    out = eval_step(state, er, jvb, jnp.int32(t))
+                    out = eval_step(eval_state, er, jvb, jnp.int32(t))
                     losses.append(float(out["loss"]))
                     if t == val_ts[len(val_ts) // 2]:
                         aurocs.append(atom_type_auroc(

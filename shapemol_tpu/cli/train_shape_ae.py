@@ -46,16 +46,33 @@ def main():
     p.add_argument("--num_workers", type=int, default=0)
     p.add_argument("--resume", default=None,
                    help="checkpoint dir (…/checkpoints) to resume from")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host runs "
+                        "(jax.distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
 
     cfg = load_config(args.config)
     misc.seed_all(cfg.train.seed)
     if cfg.model.get("model_type", "pointAE") in ("voxelAE", "IM_AE"):
         return train_voxel_ae(cfg, args)
+
+    # multi-host runtime: join the coordinator BEFORE any device query so
+    # the mesh below spans the GLOBAL device set (SURVEY §2.4 mapping)
+    from shapemol_tpu.parallel import distributed as dist
+    from shapemol_tpu.parallel.mesh import make_mesh
+    is_dist = dist.initialize(args.coordinator, args.num_processes,
+                              args.process_id)
+    pid, pcount = dist.process_shard()
+
     log_dir = misc.get_new_log_dir(args.logdir, prefix="shape_ae",
-                                   tag=args.tag)
+                                   tag=(args.tag + (f"p{pid}" if is_dist
+                                                    else "")))
     logger = misc.get_logger("train_shape_ae", log_dir)
-    logger.info(f"devices: {jax.devices()}")
+    logger.info(f"process {pid}/{pcount}, devices: {jax.devices()}")
     from shapemol_tpu.core.metrics import MetricsWriter
     mw = MetricsWriter(log_dir)
 
@@ -109,7 +126,10 @@ def main():
     sched = get_scheduler(cfg.train.scheduler.type,
                           **{k: v for k, v in cfg.train.scheduler.items()
                              if k != "type"})
-    train_step = make_shape_ae_train_step(model, tx)
+    # multi-host runs always need the sharded step over the global mesh
+    mesh = (make_mesh(args.mesh) if args.mesh > 1
+            else (make_mesh() if is_dist else None))
+    train_step = make_shape_ae_train_step(model, tx, mesh=mesh)
     eval_step = make_shape_ae_eval_step(model)
 
     max_iters = args.max_iters or cfg.train.max_iters
@@ -120,20 +140,37 @@ def main():
         from shapemol_tpu.core.checkpoint import restore_checkpoint
         state, meta = restore_checkpoint(args.resume, state)
         start_it = int(meta.get("step", 0)) + 1
+        if not meta.get("scheduler"):
+            logger.warning(
+                "resume checkpoint has no scheduler metadata: best-val "
+                "resets to inf, so the first post-resume validation will "
+                "overwrite the best checkpoint even if worse")
         for k, v in (meta.get("scheduler") or {}).items():
             if hasattr(sched, k):
                 setattr(sched, k, type(getattr(sched, k))(float(v)))
         best_val = float((meta.get("scheduler") or {}).get("best", best_val))
         logger.info(f"resumed from {args.resume} at it {start_it - 1} "
-                    f"(lr {get_learning_rate(state):.2e})")
+                    f"(lr {get_learning_rate(state):.2e}); note best "
+                    f"checkpoints are written on val improvement — resuming "
+                    f"from a best checkpoint replays iterations trained "
+                    f"after it (use checkpoints_latest for the newest state)")
 
     for it in range(start_it, max_iters + 1):
+        # every process follows the same rng stream (identical idxs) and
+        # loads only its own slice of each global batch
         idxs = rng_np.choice(train_idx, size=bs,
                              replace=len(train_idx) < bs)
-        batch = dataset.batch(idxs, point_batch_size=pbs, rng=rng_np)
+        if pcount > 1:
+            lbs = bs // pcount
+            local = idxs[pid * lbs:(pid + 1) * lbs]
+        else:
+            local = idxs
+        batch = dataset.batch(local, point_batch_size=pbs, rng=rng_np)
         batch = {"point_cloud": jnp.asarray(batch["point_cloud"]),
                  "query_points": jnp.asarray(batch["query_points"]),
                  "values": jnp.asarray(batch["values"])}
+        if is_dist:
+            batch = dist.host_local_to_global(batch, mesh)
         state, metrics = train_step(state, batch)
         if it % 100 == 0 or it == 1:
             logger.info(f"[train] it {it} loss {float(metrics['loss']):.6f} "
@@ -145,23 +182,36 @@ def main():
                         "lr": get_learning_rate(state)}, it, prefix="train/")
         if it % val_freq == 0 or it == max_iters:
             losses, accs, recs = [], [], []
-            for v0 in range(0, len(val_idx), bs):
-                vb = dataset.batch(val_idx[v0:v0 + bs],
+            my_val = val_idx[pid::pcount] if pcount > 1 else val_idx
+            # under the multi-host runtime the train state lives as global
+            # (replicated) arrays; evaluation runs host-locally on a
+            # fetched copy so the local jit never mixes device sets
+            eval_state = (jax.device_get(state) if is_dist else state)
+            for v0 in range(0, len(my_val), bs):
+                vb = dataset.batch(my_val[v0:v0 + bs],
                                    point_batch_size=pbs, rng=rng_np)
-                loss, acc, rec = eval_step(state, {
+                loss, acc, rec = eval_step(eval_state, {
                     "point_cloud": jnp.asarray(vb["point_cloud"]),
                     "query_points": jnp.asarray(vb["query_points"]),
                     "values": jnp.asarray(vb["values"])})
                 losses.append(float(loss))
                 accs.append(float(acc))
                 recs.append(float(rec))
-            val_loss = float(np.mean(losses))
+            # each host scores its own val shard; average across hosts so
+            # every process drives the LR scheduler identically
+            val_loss = dist.all_processes_mean(float(np.mean(losses)))
             logger.info(f"[val] it {it} loss {val_loss:.6f} "
                         f"acc {np.mean(accs):.4f} recall {np.mean(recs):.4f}")
             mw.scalars({"loss": val_loss, "acc": float(np.mean(accs)),
                         "recall": float(np.mean(recs))}, it, prefix="val/")
             new_lr = sched.step(val_loss, get_learning_rate(state))
             state = set_learning_rate(state, new_lr)
+            # periodic 'latest' checkpoint (keep=1) so --resume can pick up
+            # the newest state, not just the last val improvement
+            save_checkpoint(os.path.join(log_dir, "checkpoints_latest"),
+                            it, state, config=dict(cfg),
+                            scheduler_state=dict(vars(sched), best=best_val),
+                            keep=1)
             if val_loss < best_val:
                 best_val = val_loss
                 path = save_checkpoint(os.path.join(log_dir, "checkpoints"),

@@ -22,6 +22,12 @@ def save_checkpoint(ckpt_dir: str, step: int, state, config: Optional[Dict] = No
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step}")
+    import jax
+    if jax.process_count() > 1:
+        # multi-host: state leaves are global (replicated) or host-local
+        # arrays; fetch to host numpy so every process can serialize its
+        # own checkpoint copy without cross-host orbax coordination
+        state = jax.device_get(state)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "state"), state, force=True)
     meta = {"step": step}

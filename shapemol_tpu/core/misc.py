@@ -77,7 +77,8 @@ def enable_compilation_cache(path: str = "~/.cache/shapemol_tpu_xla") -> None:
 
     import jax
 
-    cache_dir = os.path.expanduser(path)
+    cache_dir = os.path.expanduser(os.environ.get("SHAPEMOL_XLA_CACHE",
+                                                  path))
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

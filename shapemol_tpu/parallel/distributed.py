@@ -45,6 +45,15 @@ def initialize(coordinator_address: Optional[str] = None,
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if not coordinator_address:
         return False
+    # already joined (e.g. one CLI invoking another in-process)? Checked
+    # via the runtime-state client rather than jax.process_count(), which
+    # would initialize the backend prematurely.
+    try:
+        from jax._src import distributed as _jd
+        if getattr(_jd.global_state, "client", None) is not None:
+            return True
+    except ImportError:
+        pass
     kw: dict = {"coordinator_address": coordinator_address}
     num_processes = num_processes or os.environ.get("JAX_NUM_PROCESSES")
     process_id = (process_id if process_id is not None
