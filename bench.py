@@ -96,7 +96,17 @@ def run_tpu_sampling():
                                 os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
                                timeout=1800)
-            per_mol = float(r.stdout.strip().splitlines()[-1]) / 16
+            if r.returncode != 0:
+                raise RuntimeError(f"flop-count subprocess failed: "
+                                   f"{r.stderr[-500:]}")
+            lines = [ln for ln in r.stdout.splitlines()
+                     if ln.startswith("FLOPS=")]
+            per_mol = float(lines[-1][len("FLOPS="):]) / 16
+            # sanity: a 8-layer 128-dim graph net on 16 molecules is
+            # somewhere in 1e8..1e13 flops
+            if not (1e6 < per_mol < 1e12):
+                raise RuntimeError(f"implausible per-molecule flop count "
+                                   f"{per_mol}")
             cache[fkey] = per_mol
             with open(BASELINE_CACHE, "w") as f:
                 json.dump(cache, f)
@@ -175,7 +185,7 @@ def count_flops_forward():
     ca = fwd.lower(pos, v).compile().cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
-    print(float(ca.get("flops", 0.0)))
+    print(f"FLOPS={float(ca.get('flops', 0.0))}")
 
 
 def main():

@@ -185,3 +185,41 @@ def test_ema_state_tracks_params():
     state = create_train_state({"w": jnp.ones(3)}, None, tx, ema=True)
     assert state.ema_params is not None
     np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 1.0)
+
+
+def test_ema_checkpoint_loads_for_sampling(tmp_path):
+    """An EMA-trained checkpoint restores through load_diffusion_model and
+    sampling uses the EMA weights (VERDICT r2 item 3 plumbing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from shapemol_tpu.chem import vocab
+    from shapemol_tpu.core.checkpoint import save_checkpoint
+    from shapemol_tpu.core.config import build_score_model_config, AttrDict
+    from shapemol_tpu.models.score_model import ShapeDiffusionNet
+    from shapemol_tpu.train.train_state import (create_train_state,
+                                                make_optimizer)
+    from tests.test_sample_sweep_cli import MODEL_CFG
+
+    num_classes = vocab.feature_dim("add_aromatic")
+    mc = build_score_model_config(AttrDict.convert(MODEL_CFG), num_classes)
+    net = ShapeDiffusionNet(mc)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)),
+                         jnp.zeros((1, 8), jnp.int32),
+                         jnp.ones((1, 8), bool),
+                         jnp.zeros((1, 8, 3)), jnp.zeros((1,), jnp.int32))
+    state = create_train_state(variables["params"],
+                               variables.get("batch_stats"),
+                               make_optimizer(), ema=True)
+    # make EMA distinguishable from raw params
+    state = state.replace(ema_params=jax.tree_util.tree_map(
+        lambda p: p + 1.0, state.params))
+    ckpt = tmp_path / "checkpoints"
+    save_checkpoint(str(ckpt), 3, state, config={"model": MODEL_CFG})
+
+    from shapemol_tpu.cli.sample import load_diffusion_model
+    _net, _cfg, restored, _tc = load_diffusion_model(str(ckpt), num_classes)
+    leaf = jax.tree_util.tree_leaves(restored["params"])[0]
+    raw_leaf = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(leaf),
+                               np.asarray(raw_leaf) + 1.0)

@@ -72,7 +72,27 @@ def run_variant(name, num_layers=8, use_pallas=True, no_net=False):
         num_layers, use_pallas)
     scfg = smp.SamplerConfig(num_steps=STEPS)
 
-    if no_net:
+    if no_net == "knn":
+        # surrogate keeping ONLY the per-step graph build (kNN + top-k +
+        # RBF edge weights): isolates the graph-construction share
+        from shapemol_tpu.ops.knn import masked_knn, gather_neighbors
+
+        class _KnnSurrogate:
+            def apply(self, _vars, p, vv, m, s, t, train=False):
+                idx, nm = masked_knn(p, m, 8)
+                nbr = gather_neighbors(p, idx)
+                d = jnp.linalg.norm(p[:, :, None, :] - nbr + 1e-12, axis=-1)
+                w = jnp.exp(-d).sum(axis=(2,))[..., None] * 1e-6
+                oh = jax.nn.one_hot(vv, cfg.num_net_classes)
+                return {"pred_ligand_pos": p * 0.999 + w,
+                        "pred_ligand_v": oh * 5.0}
+        surrogate = _KnnSurrogate()
+
+        @jax.jit
+        def sample(rng):
+            return smp.sample_diffusion(surrogate, sched, {}, rng, pos, v,
+                                        mask, shape, scfg)
+    elif no_net:
         # surrogate: same sampler scan, but the network is a cheap linear
         # map of the state (keeps shapes/dtypes; ~zero FLOPs vs the model)
         class _Surrogate:
@@ -107,6 +127,7 @@ def main():
     run_variant("layers4", 4, True)
     run_variant("layers1", 1, True)
     run_variant("no_net", 8, True, no_net=True)
+    run_variant("knn_posterior", 8, True, no_net="knn")
 
 
 if __name__ == "__main__":
