@@ -182,7 +182,10 @@ def main():
                         "lr": get_learning_rate(state)}, it, prefix="train/")
         if it % val_freq == 0 or it == max_iters:
             losses, accs, recs = [], [], []
-            my_val = val_idx[pid::pcount] if pcount > 1 else val_idx
+            # shard val across hosts only when every host gets rows (an
+            # empty shard would inject nan into the cross-host mean)
+            my_val = (val_idx[pid::pcount]
+                      if pcount > 1 and len(val_idx) >= pcount else val_idx)
             # under the multi-host runtime the train state lives as global
             # (replicated) arrays; evaluation runs host-locally on a
             # fetched copy so the local jit never mixes device sets
@@ -324,6 +327,49 @@ def train_voxel_ae(cfg, args):
                                        scheduler_state=vars(sched))
                 logger.info(f"[ckpt] best val {best_val:.6f} -> {path}")
     logger.info("done")
+
+
+def load_voxel_encoder(ckpt_dir: str, logger=None):
+    """Jitted batched voxel encoder from a voxel-AE checkpoint: a (B, G, G,
+    G, 1) occupancy batch -> (B, z_dim) latents (the reference's
+    build_voxel_shapeAE_model + SubprocShapeAE encode path,
+    utils/shape.py:186-224, redesigned as one jitted sweep)."""
+    import json as _json
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from shapemol_tpu.core.checkpoint import latest_step, restore_checkpoint
+    from shapemol_tpu.models.voxel_ae import VoxelAE, VoxelAEConfig
+    from shapemol_tpu.train.train_state import (create_train_state,
+                                                make_optimizer)
+
+    step = latest_step(ckpt_dir)
+    with open(os.path.join(ckpt_dir, f"step_{step}", "meta.json")) as f:
+        meta = _json.load(f)
+    mcfg_raw = (meta.get("config") or {}).get("model", {})
+    mcfg = VoxelAEConfig(ef_dim=int(mcfg_raw.get("ef_dim", 32)),
+                         gf_dim=int(mcfg_raw.get("gf_dim", 128)),
+                         z_dim=int(mcfg_raw.get("z_dim", 128)))
+    model = VoxelAE(mcfg)
+    G = int(mcfg_raw.get("grid_size", 45))
+    variables = model.init(jax.random.PRNGKey(0),
+                           _jnp.zeros((1, G, G, G, 1)),
+                           _jnp.zeros((1, 8, 3)))
+    template = create_train_state(variables["params"], None,
+                                  make_optimizer())
+    state, _ = restore_checkpoint(ckpt_dir, template, step)
+    if logger:
+        logger.info(f"voxel encoder: z_dim={mcfg.z_dim} from {ckpt_dir} "
+                    f"@ step {step}")
+
+    @_jax.jit
+    def encode(voxels):
+        return model.apply({"params": state.params},
+                           _jnp.asarray(voxels, _jnp.float32),
+                           method=model.encode)
+
+    return encode
 
 
 if __name__ == "__main__":

@@ -24,12 +24,19 @@ def save_checkpoint(ckpt_dir: str, step: int, state, config: Optional[Dict] = No
     path = os.path.join(ckpt_dir, f"step_{step}")
     import jax
     if jax.process_count() > 1:
-        # multi-host: state leaves are global (replicated) or host-local
-        # arrays; fetch to host numpy so every process can serialize its
-        # own checkpoint copy without cross-host orbax coordination
+        # multi-host: orbax's multihost semantics (primary-host writes +
+        # cross-host barriers) don't fit per-process log dirs, so each
+        # process serializes its own host-local copy as a flat npz — no
+        # coordination, identical logical payload (params are replicated)
+        import numpy as _np
         state = jax.device_get(state)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"), state, force=True)
+        leaves = jax.tree_util.tree_leaves(state)
+        os.makedirs(path, exist_ok=True)
+        _np.savez(os.path.join(path, "state_local.npz"),
+                  **{f"leaf_{i}": l for i, l in enumerate(leaves)})
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(path, "state"), state, force=True)
     meta = {"step": step}
     if config is not None:
         meta["config"] = config
@@ -66,8 +73,21 @@ def restore_checkpoint(ckpt_dir: str, target, step: Optional[int] = None):
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
-    with ocp.StandardCheckpointer() as ckptr:
-        state = ckptr.restore(os.path.join(path, "state"), target)
+    local_npz = os.path.join(path, "state_local.npz")
+    if os.path.exists(local_npz):
+        # per-process flat npz written under the multi-host runtime
+        import jax
+        import numpy as _np
+        with _np.load(local_npz) as z:
+            leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+        if target is None:
+            state = leaves
+        else:
+            treedef = jax.tree_util.tree_structure(target)
+            state = jax.tree_util.tree_unflatten(treedef, leaves)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(os.path.join(path, "state"), target)
     meta_path = os.path.join(path, "meta.json")
     meta = {}
     if os.path.exists(meta_path):

@@ -90,8 +90,10 @@ train:
     ckpt_dirs = glob.glob(os.path.join(my, "logs", "*", "checkpoints"))
     assert ckpt_dirs, "no checkpoint written"
     state, _meta = restore_checkpoint(ckpt_dirs[0], None)
-    leaves = jax.tree_util.tree_leaves(state["params"])
-    checksum = float(sum(np.abs(np.asarray(x)).sum() for x in leaves))
+    leaves = jax.tree_util.tree_leaves(state)
+    checksum = float(sum(np.abs(np.asarray(x, dtype=np.float64)).sum()
+                         for x in leaves
+                         if np.issubdtype(np.asarray(x).dtype, np.number)))
     print(f"S1RESULT pid={pid} checksum={checksum:.6f}")
 
     # ---- sweep: tiny ckpt + pack (identical on both hosts by seed)

@@ -77,7 +77,10 @@ def run_variant(name, num_layers=8, use_pallas=True, no_net=False):
         # RBF edge weights): isolates the graph-construction share
         from shapemol_tpu.ops.knn import masked_knn, gather_neighbors
 
+        _c = cfg
+
         class _KnnSurrogate:
+            cfg = _c
             def apply(self, _vars, p, vv, m, s, t, train=False):
                 idx, nm = masked_knn(p, m, 8)
                 nbr = gather_neighbors(p, idx)
@@ -95,7 +98,10 @@ def run_variant(name, num_layers=8, use_pallas=True, no_net=False):
     elif no_net:
         # surrogate: same sampler scan, but the network is a cheap linear
         # map of the state (keeps shapes/dtypes; ~zero FLOPs vs the model)
+        _c2 = cfg
+
         class _Surrogate:
+            cfg = _c2
             def apply(self, _vars, p, vv, m, s, t, train=False):
                 oh = jax.nn.one_hot(vv, cfg.num_net_classes)
                 return {"pred_ligand_pos": p * 0.999,
