@@ -277,7 +277,8 @@ def _dl_bwd(n_heads, num_rbf, r_max, mm_dtype, res, g):
     params, x, h, invar, idx, e_w, nbr_mask = res
     _, vjp = jax.vjp(
         lambda p, x_, h_, i_, e_: fused_layer_xla(
-            p, x_, h_, i_, idx, e_, nbr_mask, n_heads, num_rbf, r_max),
+            p, x_, h_, i_, idx, e_, nbr_mask, n_heads, num_rbf, r_max,
+            gather_impl="onehot"),
         params, x, h, invar, e_w)
     d_params, d_x, d_h, d_inv, d_ew = vjp(g)
     f0 = lambda t: np.zeros(t.shape, dtype=jax.dtypes.float0)

@@ -72,23 +72,34 @@ def edge_block_xla(params: Dict[str, Array], x: Array, dst_feats: Array,
                    h_src: Array, q: Array, idx: Array, e_w: Array,
                    nbr_mask: Array, n_heads: int, mode: str,
                    num_rbf: int = 20, r_max: float = 10.0,
-                   edge_attr: Array = None):
+                   edge_attr: Array = None, gather_impl: str = "take"):
     """mode='x2h' -> scalar messages (B,N,H);
     mode='h2x' -> vector messages (B,N,heads,3);
     edge_attr (B,N,K,E) optional per-edge features joining the factored
-    kv input via params['w_edge']."""
+    kv input via params['w_edge'].
+
+    gather_impl 'onehot' routes the neighbor gathers through one-hot
+    einsums so reverse-mode yields matmuls instead of scatter-adds — the
+    composition the custom VJPs differentiate on TPU (the scatter-add
+    backward of lax.gather dominated the train step: STATUS round 3)."""
     B, N, K = idx.shape
     H = h_src.shape[-1]
     centers, coeff = _rbf_centers_coeff(num_rbf, r_max)
 
-    nbr_x = jax.vmap(lambda xb, ib: xb[ib])(x, idx)            # (B,N,K,3)
+    if gather_impl == "onehot":
+        P = jax.nn.one_hot(idx, N, dtype=x.dtype)              # (B,N,K,N)
+        gather = lambda z: jnp.einsum("bnkm,bmc->bnkc", P, z,
+                                      preferred_element_type=jnp.float32)
+    else:
+        gather = lambda z: jax.vmap(lambda zb, ib: zb[ib])(z, idx)
+    nbr_x = gather(x)                                          # (B,N,K,3)
     rel_x = x[:, :, None, :] - nbr_x
     dist = jnp.linalg.norm(rel_x + 1e-12, axis=-1)             # (B,N,K)
     r_feat = jnp.exp(coeff * (dist[..., None] - centers[0]) ** 2)
 
     dst = dst_feats @ params["w_dst"] + params["b_dst"]        # (B,N,2H)
     src = h_src @ params["w_src"]                              # (B,N,2H)
-    src_g = jax.vmap(lambda xb, ib: xb[ib])(src, idx)          # (B,N,K,2H)
+    src_g = gather(src)                                        # (B,N,K,2H)
     edge = r_feat @ params["w_rbf"]                            # (B,N,K,2H)
     joint = edge + src_g + dst[:, :, None, :]
     if edge_attr is not None:
@@ -338,7 +349,7 @@ def _edge_block_bwd(n_heads, mode, num_rbf, r_max, mm_dtype, res, g):
     _, vjp = jax.vjp(
         lambda p, x_, d_, h_, q_, e_: edge_block_xla(
             p, x_, d_, h_, q_, idx, e_, nbr_mask, n_heads, mode,
-            num_rbf, r_max),
+            num_rbf, r_max, gather_impl="onehot"),
         params, x, dst_feats, h_src, q, e_w)
     d_params, d_x, d_dst, d_h, d_q, d_ew = vjp(g)
     f0 = lambda t: np.zeros(t.shape, dtype=jax.dtypes.float0)

@@ -50,19 +50,22 @@ def _mlp2_xla(p, x):
 
 
 def fused_layer_xla(params, x, h, invar, idx, e_w, nbr_mask, n_heads: int,
-                    num_rbf: int = 20, r_max: float = 10.0):
+                    num_rbf: int = 20, r_max: float = 10.0,
+                    gather_impl: str = "take"):
     """Reference composition: returns (h_new (B,N,H), msg2 (B,N,heads,3))."""
     from shapemol_tpu.kernels.edge_block import edge_block_xla
     q1 = _mlp2_xla(params["hq"], h)
     dst1 = jnp.concatenate([h, invar], axis=-1)
     msg1 = edge_block_xla(params["x2h"], x, dst1, h, q1, idx, e_w, nbr_mask,
-                          n_heads, "x2h", num_rbf, r_max)
+                          n_heads, "x2h", num_rbf, r_max,
+                          gather_impl=gather_impl)
     h_new = _mlp2_xla(params["node_output"],
                       jnp.concatenate([msg1, h], axis=-1)) + h
     q2 = _mlp2_xla(params["xq"], h_new)
     dst2 = jnp.concatenate([h_new, invar], axis=-1)
     msg2 = edge_block_xla(params["h2x"], x, dst2, h_new, q2, idx, e_w,
-                          nbr_mask, n_heads, "h2x", num_rbf, r_max)
+                          nbr_mask, n_heads, "h2x", num_rbf, r_max,
+                          gather_impl=gather_impl)
     return h_new, msg2
 
 
@@ -273,7 +276,8 @@ def _fl_bwd(n_heads, num_rbf, r_max, mm_dtype, res, g):
     params, x, h, invar, idx, e_w, nbr_mask = res
     _, vjp = jax.vjp(
         lambda p, x_, h_, i_, e_: fused_layer_xla(
-            p, x_, h_, i_, idx, e_, nbr_mask, n_heads, num_rbf, r_max),
+            p, x_, h_, i_, idx, e_, nbr_mask, n_heads, num_rbf, r_max,
+            gather_impl="onehot"),
         params, x, h, invar, e_w)
     d_params, d_x, d_h, d_inv, d_ew = vjp(g)
     f0 = lambda t: np.zeros(t.shape, dtype=jax.dtypes.float0)

@@ -255,3 +255,29 @@ def test_dense_layer_grad_path():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert sum(float(np.abs(np.asarray(l)).sum()) for l in leaves) > 0
+
+
+def test_onehot_gather_grads_match_take():
+    """The VJP differentiates the one-hot-einsum composition (matmul
+    backward instead of scatter-add); its gradients must equal the
+    take-based composition's exactly."""
+    import jax
+    from shapemol_tpu.kernels.fused_layer import fused_layer_xla
+    from shapemol_tpu.ops.knn import masked_knn
+    params, x, h, invar, _idx, e_w, _mask, heads, R = _fused_layer_case()
+    B, N = x.shape[:2]
+    idx, nbr_mask = masked_knn(x, jnp.ones((B, N), bool), _idx.shape[-1])
+
+    def loss(gi):
+        def f(p, xx, hh):
+            hn, m = fused_layer_xla(p, xx, hh, invar, idx, e_w, nbr_mask,
+                                    heads, num_rbf=R, gather_impl=gi)
+            return jnp.sum(hn ** 2) + jnp.sum(m ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(params, x, h)
+
+    g_take = loss("take")
+    g_oh = loss("onehot")
+    for a, b in zip(jax.tree_util.tree_leaves(g_take),
+                    jax.tree_util.tree_leaves(g_oh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
