@@ -76,19 +76,23 @@ def _target_similarity(args) -> Dict:
         tans = [sim.tanimoto_sim(s, ref) for s in samples]
         out["ref_tanimoto_avg"] = float(np.mean(tans)) if tans else None
         out["ref_tanimoto_max"] = float(np.max(tans)) if tans else None
-        rocs = [sim.aligned_rocs(ref.pos, s.pos) for s in samples]
-        out["rocs_mean"] = float(np.mean(rocs)) if rocs else None
-        out["rocs_max"] = float(np.max(rocs)) if rocs else None
-        # ESP must be scored on the shape-ALIGNED pose (the reference's
-        # EmbedAlignScore path, utils/espsim/electrostatics.py:439-472);
-        # scoring raw sampler coordinates yields charge-overlap noise
+        # ONE shape-overlap alignment per sample serves both the ROCS and
+        # the ESP metric; ESP on the ALIGNED pose is the reference's
+        # EmbedAlignScore semantics (utils/espsim/electrostatics.py:439-472)
+        # — scoring raw sampler coordinates yields charge-overlap noise
         # (round-2 esp_sim_mean 0.018 finding).
-        esp = []
+        rocs, esp = [], []
         for s in samples:
+            aligned_pos, _t = sim.align_by_overlap(ref.pos, s.pos)
+            rocs.append(sim.get_rocs(aligned_pos, ref.pos))
             try:
-                esp.append(espsim.align_score(s, ref)[0])
+                aligned = Molecule(s.atomic_nums, aligned_pos, s.bonds,
+                                   charges=s.charges, aromatic=s.aromatic)
+                esp.append(espsim.esp_sim(aligned, ref))
             except Exception:
                 pass
+        out["rocs_mean"] = float(np.mean(rocs)) if rocs else None
+        out["rocs_max"] = float(np.max(rocs)) if rocs else None
         out["esp_sim_mean"] = float(np.mean(esp)) if esp else None
     return out
 

@@ -150,49 +150,68 @@ def align_by_overlap(ref: np.ndarray, query: np.ndarray,
         if t > best_t:
             best_t, best = t, cand
 
-    # gradient refinement with JAX (optional but cheap)
-    try:
-        import jax
-        import jax.numpy as jnp
-
-        refj = jnp.asarray(ref)
-        q0 = jnp.asarray(best)
-
-        def quat_rot(q):
-            w, x, y, z = q / jnp.linalg.norm(q)
-            return jnp.array([
-                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
-
-        def neg_overlap(params):
-            q, t = params[:4], params[4:]
-            cen = q0.mean(axis=0)
-            pts = (q0 - cen) @ quat_rot(q).T + cen + t
-            r2 = jnp.sum((pts[:, None] - refj[None]) ** 2, -1)
-            a = 0.81
-            vab = jnp.sum(jnp.exp(-(a / 2) * r2))
-            return -vab
-
-        grad = jax.jit(jax.grad(neg_overlap))
-        params = jnp.array([1.0, 0, 0, 0, 0, 0, 0])
-        for _ in range(refine_steps):
-            params = params - lr * grad(params)
-        q, t = np.asarray(params[:4]), np.asarray(params[4:])
-        q = q / np.linalg.norm(q)
-        w, x, y, z = q
-        R = np.array([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
-        cen = best.mean(axis=0)
-        refined = (best - cen) @ R.T + cen + t
-        t_ref = shape_tanimoto(refined, ref)
-        if t_ref > best_t:
-            return refined, t_ref
-    except Exception:
-        pass
+    # closed-form numpy gradient refinement. (The former JAX version
+    # re-jitted per (n_ref, n_query) shape pair inside every eval worker —
+    # hundreds of CPU compiles made the 5000-sample eval crawl; the
+    # analytic gradient below is exact and compile-free.)
+    refined, t_ref = _refine_overlap_numpy(ref, best, refine_steps, lr)
+    if t_ref > best_t:
+        return refined, t_ref
     return best, best_t
+
+
+def _quat_rot(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def _d_quat_rot(q: np.ndarray):
+    """dR/dq_k for the UNNORMALIZED quaternion entries of _quat_rot's
+    normalized form, via chain rule through u = q/|q|."""
+    n = np.linalg.norm(q)
+    u = q / n
+    w, x, y, z = u
+    dR_du = np.array([
+        # dR/dw
+        [[0, -2 * z, 2 * y], [2 * z, 0, -2 * x], [-2 * y, 2 * x, 0]],
+        # dR/dx
+        [[0, 2 * y, 2 * z], [2 * y, -4 * x, -2 * w], [2 * z, 2 * w, -4 * x]],
+        # dR/dy
+        [[-4 * y, 2 * x, 2 * w], [2 * x, 0, 2 * z], [-2 * w, 2 * z, -4 * y]],
+        # dR/dz
+        [[-4 * z, -2 * w, 2 * x], [2 * w, -4 * z, 2 * y], [2 * x, 2 * y, 0]],
+    ])
+    # du_j/dq_k = (delta_jk - u_j u_k) / n
+    J = (np.eye(4) - np.outer(u, u)) / n           # (4, 4): rows j, cols k
+    # dR/dq_k = sum_j dR/du_j * du_j/dq_k
+    return np.einsum("jab,jk->kab", dR_du, J)
+
+
+def _refine_overlap_numpy(ref: np.ndarray, q0: np.ndarray,
+                          steps: int, lr: float):
+    """Gradient ascent on Gaussian overlap over (quaternion, translation)."""
+    a = 0.81
+    cen = q0.mean(axis=0)
+    p0 = q0 - cen
+    params = np.array([1.0, 0, 0, 0, 0, 0, 0])
+    for _ in range(steps):
+        q, t = params[:4], params[4:]
+        R = _quat_rot(q)
+        pts = p0 @ R.T + cen + t
+        diff = pts[:, None] - ref[None]            # (N, M, 3)
+        e = np.exp(-(a / 2) * np.sum(diff * diff, -1))
+        g_pts = -a * np.einsum("nm,nmc->nc", e, diff)   # d(vab)/d(pts)
+        g_t = g_pts.sum(axis=0)
+        dR = _d_quat_rot(q)                        # (4, 3, 3)
+        g_q = np.einsum("nc,kcd,nd->k", g_pts, dR, p0)
+        grad = np.concatenate([g_q, g_t])          # ascent direction
+        params = params + lr * grad
+    R = _quat_rot(params[:4])
+    refined = p0 @ R.T + cen + params[4:]
+    return refined, shape_tanimoto(refined, ref)
 
 
 def aligned_rocs(ref: np.ndarray, query: np.ndarray) -> float:
