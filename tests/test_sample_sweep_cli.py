@@ -78,7 +78,10 @@ def test_sample_sweep_bucketed(tmp_path, monkeypatch):
         "sample_sweep", str(cfg_yml), "--ckpt", str(ckpt_dir),
         "--test_pack", str(pack), "--result_path", str(out_dir),
         "--batch_size", "4", "--max_atoms", "24",
-        "--start", "0", "--end", "4"])
+        "--start", "0", "--end", "4",
+        # pin the deterministic fallback buckets {16,24,...}: the shipped
+        # pad_costs.json is a v5e measurement and would re-plan the buckets
+        "--pad_costs", str(tmp_path / "no_such_costs.json")])
     sample_sweep.main()
 
     for t in range(4):
