@@ -265,23 +265,73 @@ def _fl_fwd(params, x, h, invar, idx, e_w, nbr_mask, n_heads, num_rbf,
 
 
 def _fl_bwd(n_heads, num_rbf, r_max, mm_dtype, res, g):
-    if mm_dtype == "bfloat16":
-        import warnings
-        warnings.warn(
-            "fused_layer: mm_dtype='bfloat16' under jax.grad pairs a bf16 "
-            "Pallas forward with an f32 XLA backward — gradients do not "
-            "match the computed loss and training destabilizes (measured, "
-            "STATUS round 2). Use dtype='float32' for training; bf16 is an "
-            "inference/sampling knob.", stacklevel=2)
     params, x, h, invar, idx, e_w, nbr_mask = res
-    _, vjp = jax.vjp(
-        lambda p, x_, h_, i_, e_: fused_layer_xla(
-            p, x_, h_, i_, idx, e_, nbr_mask, n_heads, num_rbf, r_max,
-            gather_impl="onehot"),
-        params, x, h, invar, e_w)
-    d_params, d_x, d_h, d_inv, d_ew = vjp(g)
+    if jax.default_backend() != "tpu":
+        _, vjp = jax.vjp(
+            lambda p, x_, h_, i_, e_: fused_layer_xla(
+                p, x_, h_, i_, idx, e_, nbr_mask, n_heads, num_rbf, r_max,
+                gather_impl="onehot"),
+            params, x, h, invar, e_w)
+        d_params, d_x, d_h, d_inv, d_ew = vjp(g)
+        f0 = lambda t: np.zeros(t.shape, dtype=jax.dtypes.float0)
+        return (d_params, d_x, d_h, d_inv, f0(idx), d_ew, f0(nbr_mask))
+
+    d_params, d_x, d_h, d_inv, d_ew = fused_layer_bwd_composed(
+        params, x, h, invar, idx, e_w, nbr_mask, (g[0], g[1]),
+        n_heads, num_rbf, r_max, mm_dtype)
     f0 = lambda t: np.zeros(t.shape, dtype=jax.dtypes.float0)
     return (d_params, d_x, d_h, d_inv, f0(idx), d_ew, f0(nbr_mask))
+
+
+def fused_layer_bwd_composed(params, x, h, invar, idx, e_w, nbr_mask, g,
+                             n_heads, num_rbf: int = 20,
+                             r_max: float = 10.0,
+                             mm_dtype: str = "float32",
+                             interpret: bool = False):
+    """Pallas backward of the fused layer (round 3, VERDICT item 6).
+
+    The per-edge heavy lifting runs in two hand-derived recompute-in-VMEM
+    kernels (one per attention block, kernels/edge_block.py:
+    edge_block_bwd_pallas); the node-level MLP chain rule is cheap XLA.
+    msg1 is recomputed with the Pallas forward edge kernel, so only
+    node-sized tensors ever touch HBM here. Returns
+    (d_params, d_x, d_h, d_invar, d_e_w)."""
+    from shapemol_tpu.kernels.edge_block import (edge_block_bwd_pallas,
+                                                 edge_block_pallas)
+    g_h, g_m = g
+    H = h.shape[-1]
+    mlp = lambda p, xx: _mlp2_xla(p, xx)
+
+    q1, vjp_hq = jax.vjp(mlp, params["hq"], h)
+    dst1 = jnp.concatenate([h, invar], axis=-1)
+    msg1 = edge_block_pallas(params["x2h"], x, dst1, h, q1, idx, e_w,
+                             nbr_mask, n_heads, "x2h", num_rbf, r_max,
+                             mm_dtype, interpret=interpret)
+    cat1 = jnp.concatenate([msg1, h], axis=-1)
+    hn_pre, vjp_no = jax.vjp(mlp, params["node_output"], cat1)
+    h_new = hn_pre + h
+    q2, vjp_xq = jax.vjp(mlp, params["xq"], h_new)
+    dst2 = jnp.concatenate([h_new, invar], axis=-1)
+
+    pg_h2x, d_x2, d_dst2, d_hs2, d_q2, d_ew2 = edge_block_bwd_pallas(
+        params["h2x"], x, dst2, h_new, q2, idx, e_w, nbr_mask, g_m,
+        n_heads, "h2x", num_rbf, r_max, mm_dtype, interpret=interpret)
+    pg_xq, d_hn_q2 = vjp_xq(d_q2)
+    d_hnew = g_h + d_dst2[..., :H] + d_hs2 + d_hn_q2
+    d_invar = d_dst2[..., H:]
+    pg_no, d_cat1 = vjp_no(d_hnew)
+    d_msg1 = d_cat1[..., :H]
+    d_h = d_cat1[..., H:] + d_hnew                    # + residual branch
+    pg_x2h, d_x1, d_dst1, d_hs1, d_q1, d_ew1 = edge_block_bwd_pallas(
+        params["x2h"], x, dst1, h, q1, idx, e_w, nbr_mask, d_msg1,
+        n_heads, "x2h", num_rbf, r_max, mm_dtype, interpret=interpret)
+    pg_hq, d_h_q1 = vjp_hq(d_q1)
+    d_h = d_h + d_dst1[..., :H] + d_hs1 + d_h_q1
+    d_invar = d_invar + d_dst1[..., H:]
+
+    d_params = {"hq": pg_hq, "x2h": pg_x2h, "node_output": pg_no,
+                "xq": pg_xq, "h2x": pg_h2x}
+    return (d_params, d_x1 + d_x2, d_h, d_invar, d_ew1 + d_ew2)
 
 
 _fused_layer_ad.defvjp(_fl_fwd, _fl_bwd)

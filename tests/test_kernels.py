@@ -281,3 +281,83 @@ def test_onehot_gather_grads_match_take():
                     jax.tree_util.tree_leaves(g_oh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def _rel_check(a, b, tol, zero_tol=1e-5):
+    """Relative max-error vs the reference's scale; near-zero references
+    (e.g. d_b_out_k, whose true gradient vanishes by softmax shift
+    invariance) are compared absolutely."""
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.abs(b).max()
+    if scale < zero_tol:
+        np.testing.assert_allclose(a, b, atol=zero_tol)
+    else:
+        assert np.abs(a - b).max() / scale < tol, (
+            f"rel err {np.abs(a - b).max() / scale:.3e} > {tol}")
+
+
+def test_edge_block_bwd_pallas_matches_xla_vjp():
+    """Hand-derived Pallas backward kernel (interpret mode) vs the XLA
+    VJP of the reference composition, both modes, with masked edges,
+    self-edges and duplicate neighbors present. Run at highest matmul
+    precision so both sides use true-f32 dots (the default precision is
+    bf16-class and would mask real formula errors)."""
+    import jax
+    from shapemol_tpu.kernels.edge_block import (edge_block_bwd_pallas,
+                                                 edge_block_xla)
+    params, x, h, invar, idx, e_w, mask, heads, R = _fused_layer_case()
+    mask = mask.at[:, :, 0].set(True)
+    dstf = jnp.concatenate([h, invar], axis=-1)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal(h.shape), jnp.float32)
+    H = h.shape[-1]
+
+    with jax.default_matmul_precision("highest"):
+        for mode, out_shape in (("x2h", h.shape),
+                                ("h2x", x.shape[:2] + (heads, 3))):
+            p = dict(params["x2h" if mode == "x2h" else "h2x"])
+            g = jnp.asarray(rng.standard_normal(out_shape), jnp.float32)
+            f = lambda p_, x_, d_, h_, q_, e_: edge_block_xla(
+                p_, x_, d_, h_, q_, idx, e_, mask, heads, mode, R, 10.0)
+            _, vjp = jax.vjp(f, p, x, dstf, h, q, e_w)
+            want = vjp(g)
+            gp, gx, gd, gh, gq, gew = edge_block_bwd_pallas(
+                p, x, dstf, h, q, idx, e_w, mask, g, heads, mode, R, 10.0,
+                interpret=True)
+            _rel_check(gx, want[1], 2e-4)
+            _rel_check(gd, want[2], 2e-4)
+            _rel_check(gh, want[3], 2e-4)
+            _rel_check(gq, want[4], 2e-4)
+            _rel_check(gew, want[5], 2e-4)
+            for k in gp:
+                _rel_check(gp[k], want[0][k], 2e-4)
+
+
+def test_fused_layer_bwd_composed_matches_xla_vjp():
+    """Full-layer Pallas backward (two edge-block bwd kernels + XLA MLP
+    glue) vs the XLA VJP of fused_layer_xla."""
+    import jax
+    from shapemol_tpu.kernels.fused_layer import (fused_layer_bwd_composed,
+                                                  fused_layer_xla)
+    params, x, h, invar, idx, e_w, mask, heads, R = _fused_layer_case()
+    mask = mask.at[:, :, 0].set(True)
+    rng = np.random.default_rng(8)
+
+    with jax.default_matmul_precision("highest"):
+        f = lambda p_, x_, h_, i_, e_: fused_layer_xla(
+            p_, x_, h_, i_, idx, e_, mask, heads, R, 10.0)
+        out, vjp = jax.vjp(f, params, x, h, invar, e_w)
+        g = (jnp.asarray(rng.standard_normal(out[0].shape), jnp.float32),
+             jnp.asarray(rng.standard_normal(out[1].shape), jnp.float32))
+        want = vjp(g)
+        dp, dx, dh, dinv, dew = fused_layer_bwd_composed(
+            params, x, h, invar, idx, e_w, mask, g, heads, R, 10.0,
+            interpret=True)
+        _rel_check(dx, want[1], 5e-4)
+        _rel_check(dh, want[2], 5e-4)
+        _rel_check(dinv, want[3], 5e-4)
+        _rel_check(dew, want[4], 5e-4)
+        flat_got = jax.tree_util.tree_leaves_with_path(dp)
+        flat_want = jax.tree_util.tree_leaves_with_path(want[0])
+        for (kp, a), (_, b) in zip(flat_got, flat_want):
+            _rel_check(a, b, 5e-4)
