@@ -52,6 +52,22 @@ def _ln(x: Array, scale: Array, bias: Array, eps: float = 1e-6) -> Array:
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _ln_stats_mxu(x: Array, eps: float = 1e-6):
+    """In-kernel LayerNorm statistics on the MXU: row means via a
+    matmul against a ones column instead of cross-lane VPU reductions
+    (measured ~13 us/layer faster on the (TNK, H) edge tensors —
+    STATUS round 3b). Two-pass (centered) variance for stability.
+    Returns (xhat, rstd)."""
+    C = x.shape[-1]
+    ones_col = jnp.full((C, 1), 1.0 / C, dtype=jnp.float32)
+    mu = jax.lax.dot(x, ones_col, preferred_element_type=jnp.float32)
+    cen = x - mu
+    var = jax.lax.dot(cen * cen, ones_col,
+                      preferred_element_type=jnp.float32)
+    rstd = jax.lax.rsqrt(var + eps)
+    return cen * rstd, rstd
+
+
 def _rbf_centers_coeff(num: int, r_max: float):
     """The fixed 20-center table (reference quirk Q2) or a linspace."""
     if num == len(FIXED_RBF_OFFSETS):
@@ -165,6 +181,10 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
         C = z.shape[-1]
         return jnp.sum(z.reshape(TN, K, C), axis=1)
 
+    def gmax(z):
+        C = z.shape[-1]
+        return jnp.max(z.reshape(TN, K, C), axis=1)
+
     cols = jax.lax.broadcasted_iota(jnp.int32, (TNK, TN), 1)
     P = (cols == idx_ref[0]).astype(f32)                       # gather matrix
 
@@ -183,10 +203,12 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
     src_g = mdot(P.astype(md), src)
     edge = mdot(r_feat, wrbf_ref[:])                           # (TNK, 2H)
     joint = edge + src_g + rep_rows(dst)
-    hk = jnp.maximum(_ln(joint[:, :H], lnk_s_ref[:].astype(f32),
-                         lnk_b_ref[:].astype(f32)), 0.0)
-    hv = jnp.maximum(_ln(joint[:, H:], lnv_s_ref[:].astype(f32),
-                         lnv_b_ref[:].astype(f32)), 0.0)
+    xh_k, _ = _ln_stats_mxu(joint[:, :H])
+    xh_v, _ = _ln_stats_mxu(joint[:, H:])
+    hk = jnp.maximum(xh_k * lnk_s_ref[:].astype(f32)
+                     + lnk_b_ref[:].astype(f32), 0.0)
+    hv = jnp.maximum(xh_v * lnv_s_ref[:].astype(f32)
+                     + lnv_b_ref[:].astype(f32), 0.0)
     k = mdot(hk, woutk_ref[:]) + boutk_ref[:].astype(f32)
 
     # ---- attention core
@@ -195,7 +217,10 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
     logits = mdot(q_rep * k, head_sum) / np.sqrt(dh)
     mf = mask_ref[0]
     masked = logits * mf + (1.0 - mf) * NEG
-    masked -= jnp.max(masked)
+    # per-(dst, head) max — exact match to the XLA composition's
+    # stabilization (round 3b: same cost as a constant clamp, and the
+    # old global jnp.max full-tensor reduce cost ~25 us/layer)
+    masked -= rep_rows(gmax(masked))
     expd = jnp.exp(masked) * mf
     denom = rep_rows(gsum(expd))
     alpha = expd / jnp.maximum(denom, 1e-20)                   # (TNK, heads)
@@ -209,13 +234,11 @@ def _edge_block_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
     else:
         v_s = v * ew_ref[0]                                    # (TNK, heads)
         w = alpha * v_s
-        E_w = _indicator((n_heads, n_heads * 3), lambda r, c: c // 3 == r,
-                         dtype=md)
-        E_r = _indicator((3, n_heads * 3), lambda r, c: c % 3 == r,
-                         dtype=md)
-        w_exp = mdot(w, E_w)
-        r_exp = mdot(rel_x, E_r)
-        msg = gsum(w_exp * r_exp)
+        # c-major (TN, 3*heads) output — cols c*heads+h — via 3 VPU
+        # broadcasts + group-sums instead of the E_w/E_r indicator
+        # expansions (16 MXU passes); the wrapper transposes back
+        msg = jnp.concatenate(
+            [gsum(w * rel_x[:, c:c + 1]) for c in range(3)], axis=-1)
         out_ref[0] = msg.astype(out_ref.dtype)
 
 
@@ -317,7 +340,8 @@ def edge_block_pallas(params: Dict[str, Array], x: Array,
       params["w_out_v"], b2(params["b_out_v"]))
     if mode == "x2h":
         return out.reshape(B, N, H)
-    return out.reshape(B, N, n_heads, 3)
+    # kernel emits c-major (.., 3*heads); restore (B, N, heads, 3)
+    return out.reshape(B, N, 3, n_heads).transpose(0, 1, 3, 2)
 
 
 # --------------------------------------------------------------------------
@@ -374,8 +398,17 @@ def _edge_block_bwd_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
         C = z.shape[-1]
         return jnp.sum(z.reshape(TN, K, C), axis=1)
 
+    def gmax(z):
+        C = z.shape[-1]
+        return jnp.max(z.reshape(TN, K, C), axis=1)
+
     def csum(z):                       # column sums -> (1, C) bias grads
         return jnp.sum(z, axis=0, keepdims=True)
+
+    def rmean(z):                      # row means on the MXU (matches fwd)
+        C = z.shape[-1]
+        ones_col = jnp.full((C, 1), 1.0 / C, dtype=f32)
+        return jax.lax.dot(z, ones_col, preferred_element_type=f32)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (TNK, TN), 1)
     P = (cols == idx_ref[0]).astype(f32)
@@ -397,10 +430,7 @@ def _edge_block_bwd_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
     joint = (mdot(r_feat, wrbf_ref[:]) + mdot(P, srcp) + rep_rows(dstp))
 
     def ln_fwd(a, s, b):
-        mu = jnp.mean(a, axis=-1, keepdims=True)
-        var = jnp.mean((a - mu) ** 2, axis=-1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + 1e-6)
-        xhat = (a - mu) * rstd
+        xhat, rstd = _ln_stats_mxu(a)
         return xhat * s + b, xhat, rstd
 
     sk = lnk_s_ref[:].astype(f32)
@@ -417,7 +447,7 @@ def _edge_block_bwd_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
     mf = mask_ref[0]
     ew = ew_ref[0]
     masked = logits * mf + (1.0 - mf) * NEG
-    masked -= jnp.max(masked)
+    masked -= rep_rows(gmax(masked))
     expd = jnp.exp(masked) * mf
     alpha = expd / jnp.maximum(rep_rows(gsum(expd)), 1e-20)
     v = mdot(hv, woutv_ref[:]) + boutv_ref[:].astype(f32)
@@ -432,15 +462,14 @@ def _edge_block_bwd_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
         d_vew = grep * alpha_full
         d_relx = jnp.zeros_like(rel_x)
     else:
-        E_w = _indicator((n_heads, n_heads * 3), lambda r, c: c // 3 == r,
-                         dtype=md)
-        E_r = _indicator((3, n_heads * 3), lambda r, c: c % 3 == r,
-                         dtype=md)
+        # grep is c-major (TNK, 3*heads) — cols c*heads+h (matches the
+        # forward's c-major output; the wrapper transposes the cotangent)
         w_ = alpha * vew
-        w_exp = mdot(w_, E_w)
-        r_exp = mdot(rel_x, E_r)
-        d_w = mdot_nt(grep * r_exp, E_w)                       # (TNK, heads)
-        d_relx = mdot_nt(grep * w_exp, E_r)                    # (TNK, 3)
+        slc = [grep[:, c * n_heads:(c + 1) * n_heads] for c in range(3)]
+        d_w = sum(s * rel_x[:, c:c + 1] for c, s in enumerate(slc))
+        d_relx = jnp.concatenate(
+            [jnp.sum(s * w_, axis=-1, keepdims=True) for s in slc],
+            axis=-1)                                           # (TNK, 3)
         d_alpha = d_w * vew
         d_vew = d_w * alpha
     d_v = d_vew * ew
@@ -466,9 +495,7 @@ def _edge_block_bwd_kernel(x_ref, dst_ref, src_ref, q_ref, idx_ref, ew_ref,
         d_s = csum(d_l * xhat)
         d_b = csum(d_l)
         d_xhat = d_l * s
-        d_a = rstd * (d_xhat - jnp.mean(d_xhat, axis=-1, keepdims=True)
-                      - xhat * jnp.mean(d_xhat * xhat, axis=-1,
-                                        keepdims=True))
+        d_a = rstd * (d_xhat - rmean(d_xhat) - xhat * rmean(d_xhat * xhat))
         return d_a, d_s, d_b
 
     d_jk, d_sk, d_bk = ln_relu_bwd(d_hk, lk, xk, rk, sk)
@@ -535,6 +562,9 @@ def edge_block_bwd_pallas(params: Dict[str, Array], x: Array,
     centers_np, _ = _rbf_centers_coeff(num_rbf, r_max)
     centers = jnp.asarray(centers_np)
     out_cols = H if mode == "x2h" else n_heads * 3
+    if mode == "h2x":
+        # kernel works in the forward's c-major layout (TN, 3*heads)
+        g_out = g_out.transpose(0, 1, 3, 2)
     g2 = g_out.reshape(G_, TN, out_cols)
 
     b2 = lambda p: p.reshape(1, -1)
