@@ -1,20 +1,30 @@
-"""Round-3b fused-layer kernel experiments (run on the real chip).
+"""Round-3b/3c fused-layer kernel experiments (run on the real chip).
 
-Hypotheses measured here, each as a full fused-layer kernel variant timed
-under the same scan harness as tools/bench_layer_tiles.py:
+Each hypothesis is a full fused-layer kernel variant, slope-timed between
+two scan lengths to cancel the tunnel's fixed per-execution overhead.
 
-  v0   production kernel (baseline), at T=4 and T=3.
-  v1   merge the two big edge matmuls into ONE K-tile: with T=3 (TN=96),
-       [r_feat | P] is (TNK, 116) <= 128 so  r_feat@w_rbf + P@srcp  becomes
-       one (TNK,116)@(116,2H) dot — 12 MXU passes instead of 24 per block.
-  v2   h2x rel_x contraction in c-major output layout (3 VPU broadcasts +
-       group-sums) instead of the E_w/E_r indicator expansions (16 passes).
-  v3   x2h alpha head-expansion via sublane-free lane broadcast
-       (reshape (TNK,16,1)->(TNK,16,8)->(TNK,128)) instead of
-       alpha @ HEAD_SUM^T.
-  v4   softmax stabilization by constant clamp instead of a full-tensor max
-       reduction (exactness: values never exceed the clamp in practice;
-       the clamp preserves the softmax exactly whenever max < CLAMP).
+Measured verdicts (v5e, B=96 pad 32, two runs, noise ~ +-4 us/layer):
+
+  ADOPTED into the production kernel (round 3b):
+  - h2x rel_x contraction in c-major output layout (3 VPU broadcasts +
+    group-sums) instead of the E_w/E_r indicator expansions: 264 -> ~249.
+  - per-(dst, head) group-max softmax stabilization (exact; as fast as an
+    inexact constant clamp, ~9 us cheaper than full-tensor max).
+  - LayerNorm stats per half via ones-column MXU dots (mxu_half):
+    ~249 -> 224 us/layer.  Final production config == v25_prod.
+
+  MEASURED AND REJECTED (kept here as flags for re-testing):
+  - merged_gather: one-K-tile [r_feat | P] left operand — concat relayout
+    costs more than the saved MXU passes.
+  - alpha_bcast: lane broadcast-reshape alpha expansion — Mosaic
+    compilation failure (unsupported relayout).
+  - x2h_dhmajor: dh-major w_out_v columns + lane-concat alpha expansion —
+    257 vs 249 us (7 lane concats cost more than the 8-pass matmul).
+  - logits_lanes: (TNK, heads, dh).sum(-1) lane-group logits reduce —
+    Mosaic compile error (HTTP 500 from the compile helper).
+  - ln_mode=mxu_merged2: one merged (TNK,2H)@(2H,2) moment dot —
+    228-230 vs 224 us (the wide-N broadcast of mu costs the saving).
+  - indicator h2x (h2x_vpu=False) with mxu_half LN: 226-228 vs 224.
 
 PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_kernel_exp.py
 """
@@ -50,7 +60,8 @@ def _exp_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
                 centers_ref, *refs, n_heads: int, K: int, num_rbf: int,
                 r_max: float, merged_gather: bool, h2x_vpu: bool,
                 alpha_bcast: bool, clamp_max: bool, group_max: bool = False,
-                ablate: str = ""):
+                x2h_dhmajor: bool = False, logits_lanes: bool = False,
+                ln_mode: str = "vpu", ablate: str = ""):
     (h_out_ref, msg_out_ref) = refs[-2:]
     w = list(refs[:-2])
     p: Dict[str, Dict[str, jax.Array]] = {}
@@ -117,20 +128,33 @@ def _exp_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
                              + g["ln_k_bias"][:], 0.0)
             hv = jnp.maximum(joint[:, H_:] * g["ln_v_scale"][:]
                              + g["ln_v_bias"][:], 0.0)
-        elif ablate == "ln_mxu":
-            # LN statistics on the MXU: one (TNK,2H)@(2H,2) matmul per
-            # moment instead of cross-lane VPU reductions per half
+        elif ln_mode == "mxu_merged2":
+            # LN statistics on the MXU with ONE merged (TNK,2H)@(2H,2) dot
+            # per moment (the per-half version uses 4 ones-column dots);
+            # two-pass centered variance like production
             Mstat = _indicator((2 * H_, 2),
                                lambda r, c: (r // H_) == c) / H_
             mu2 = jax.lax.dot(joint, Mstat, preferred_element_type=f32)
-            m2 = jax.lax.dot(joint * joint, Mstat,
-                             preferred_element_type=f32)
-            var2 = jnp.maximum(m2 - mu2 * mu2, 0.0)
+            mu_b = jnp.concatenate(
+                [jnp.broadcast_to(mu2[:, 0:1], (TNK, H_)),
+                 jnp.broadcast_to(mu2[:, 1:2], (TNK, H_))], axis=-1)
+            cen = joint - mu_b
+            var2 = jax.lax.dot(cen * cen, Mstat,
+                               preferred_element_type=f32)
             rs2 = jax.lax.rsqrt(var2 + 1e-6)
-            hk = jnp.maximum((joint[:, :H_] - mu2[:, 0:1]) * rs2[:, 0:1]
+            hk = jnp.maximum(cen[:, :H_] * rs2[:, 0:1]
                              * g["ln_k_scale"][:] + g["ln_k_bias"][:], 0.0)
-            hv = jnp.maximum((joint[:, H_:] - mu2[:, 1:2]) * rs2[:, 1:2]
+            hv = jnp.maximum(cen[:, H_:] * rs2[:, 1:2]
                              * g["ln_v_scale"][:] + g["ln_v_bias"][:], 0.0)
+        elif ln_mode == "mxu_half":
+            # production r3b: per-half ones-column dots
+            from shapemol_tpu.kernels.edge_block import _ln_stats_mxu
+            xh_k, _ = _ln_stats_mxu(joint[:, :H_])
+            xh_v, _ = _ln_stats_mxu(joint[:, H_:])
+            hk = jnp.maximum(xh_k * g["ln_k_scale"][:]
+                             + g["ln_k_bias"][:], 0.0)
+            hv = jnp.maximum(xh_v * g["ln_v_scale"][:]
+                             + g["ln_v_bias"][:], 0.0)
         else:
             hk = jnp.maximum(_ln(joint[:, :H_], g["ln_k_scale"][:],
                                  g["ln_k_bias"][:]), 0.0)
@@ -138,7 +162,13 @@ def _exp_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
                                  g["ln_v_bias"][:]), 0.0)
         k = mdot(hk, g["w_out_k"][:]) + g["b_out_k"][:]
         q_rep = rep_rows(q)
-        logits = mdot(q_rep * k, head_sum) / np.sqrt(dh)
+        if logits_lanes:
+            # per-head lane-group reduce: (TNK, heads, dh).sum(-1) replaces
+            # the (H, heads) narrow-N matmul (8 passes at 16/128 lanes)
+            logits = jnp.sum((q_rep * k).reshape(TNK, n_heads, dh),
+                             axis=-1) / np.sqrt(dh)
+        else:
+            logits = mdot(q_rep * k, head_sum) / np.sqrt(dh)
         masked = logits * mf + (1.0 - mf) * NEG
         if ablate == "nosoftmax":
             alpha = masked * mf * 1e-3
@@ -155,7 +185,14 @@ def _exp_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
         v = mdot(hv, g["w_out_v"][:]) + g["b_out_v"][:]
         if mode == "x2h":
             v = v * ew
-            if alpha_bcast:
+            if x2h_dhmajor:
+                # w_out_v/b_out_v arrive column-permuted to dh-major
+                # (col d*heads + h); alpha expansion is then a lane concat
+                # of dh copies instead of the (heads, H) matmul. msg1 is
+                # emitted dh-major and node_output.w0's msg rows are
+                # permuted to match on the host.
+                alpha_full = jnp.concatenate([alpha] * dh, axis=-1)
+            elif alpha_bcast:
                 alpha_full = jnp.broadcast_to(
                     alpha[:, :, None], (TNK, n_heads, dh)).reshape(TNK, H_)
             else:
@@ -187,14 +224,31 @@ def _exp_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
 @functools.partial(jax.jit, static_argnames=("n_heads", "num_rbf", "r_max",
                                              "T", "merged_gather", "h2x_vpu",
                                              "alpha_bcast", "clamp_max",
-                                             "group_max", "ablate",
-                                             "interpret"))
+                                             "group_max", "x2h_dhmajor",
+                                             "logits_lanes", "ln_mode",
+                                             "ablate", "interpret"))
 def exp_layer(params, x, h, invar, idx, e_w, nbr_mask, n_heads, num_rbf=20,
               r_max=10.0, T=4, merged_gather=False, h2x_vpu=False,
               alpha_bcast=False, clamp_max=False, group_max=False,
+              x2h_dhmajor=False, logits_lanes=False, ln_mode="vpu",
               ablate="", interpret=False):
     B_, N_, K_ = idx.shape
     H_ = h.shape[-1]
+    if x2h_dhmajor:
+        # host-side relayout: x2h value head d of dh lands at column
+        # d*heads + h; node_output.w0's msg rows follow the same perm so
+        # h_new is bitwise-identical to the reference layout
+        dh_ = H_ // n_heads
+        old_idx = np.array([(j % n_heads) * dh_ + j // n_heads
+                            for j in range(H_)])
+        params = jax.tree_util.tree_map(lambda a: a, params)  # shallow copy
+        params["x2h"] = dict(params["x2h"])
+        params["node_output"] = dict(params["node_output"])
+        params["x2h"]["w_out_v"] = params["x2h"]["w_out_v"][:, old_idx]
+        params["x2h"]["b_out_v"] = params["x2h"]["b_out_v"][old_idx]
+        w0 = params["node_output"]["w0"]
+        params["node_output"]["w0"] = jnp.concatenate(
+            [w0[:H_][old_idx], w0[H_:]], axis=0)
     S_ = invar.shape[-1]
     G_, TN, TNK = B_ // T, T * N_, T * N_ * K_
     x2 = x.reshape(G_, TN, 3)
@@ -225,7 +279,8 @@ def exp_layer(params, x, h, invar, idx, e_w, nbr_mask, n_heads, num_rbf=20,
         _exp_kernel, n_heads=n_heads, K=K_, num_rbf=num_rbf, r_max=r_max,
         merged_gather=merged_gather, h2x_vpu=h2x_vpu,
         alpha_bcast=alpha_bcast, clamp_max=clamp_max, group_max=group_max,
-        ablate=ablate)
+        x2h_dhmajor=x2h_dhmajor, logits_lanes=logits_lanes,
+        ln_mode=ln_mode, ablate=ablate)
     h_new, msg2 = pl.pallas_call(
         kern,
         grid=(G_,),
@@ -335,18 +390,15 @@ def check_parity():
 
 
 VARIANTS = [
-    # alpha_bcast (lane broadcast-reshape) fails Mosaic compilation — dropped
-    # merged_gather loses (concat relayout > saved passes) — dropped
-    ("v0_T4", dict(T=4)),
-    ("v24_clamp_vpu", dict(T=4, h2x_vpu=True, clamp_max=True)),
-    ("v25_gmax_vpu", dict(T=4, h2x_vpu=True, group_max=True)),
-    ("v5_gmax", dict(T=4, group_max=True)),
-    ("a_noln", dict(T=4, h2x_vpu=True, clamp_max=True, ablate="noln")),
-    ("a_norbf", dict(T=4, h2x_vpu=True, clamp_max=True, ablate="norbf")),
-    ("a_nogather", dict(T=4, h2x_vpu=True, clamp_max=True,
-                        ablate="nogather")),
-    ("a_nosoftmax", dict(T=4, h2x_vpu=True, ablate="nosoftmax")),
-    ("v_lnmxu", dict(T=4, h2x_vpu=True, clamp_max=True, ablate="ln_mxu")),
+    # round-3c focus: LN-mode x h2x-path head-to-head (2 runs each for
+    # noise); dh-major alpha + lane-group logits reduce measured and
+    # dropped (lost / failed Mosaic) — see git history
+    ("v25_prod", dict(T=4, h2x_vpu=True, group_max=True,
+                      ln_mode="mxu_half")),
+    ("v33_merged2", dict(T=4, h2x_vpu=True, group_max=True,
+                         ln_mode="mxu_merged2")),
+    ("v34_ind_merged2", dict(T=4, group_max=True, ln_mode="mxu_merged2")),
+    ("v35_ind_half", dict(T=4, group_max=True, ln_mode="mxu_half")),
 ]
 
 if __name__ == "__main__":
