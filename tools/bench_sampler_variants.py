@@ -128,12 +128,19 @@ def run_variant(name, num_layers=8, use_pallas=True, no_net=False):
 def main():
     from shapemol_tpu.core import misc
     misc.enable_compilation_cache()
-    run_variant("full", 8, True)
-    run_variant("xla", 8, False)
-    run_variant("layers4", 4, True)
-    run_variant("layers1", 1, True)
-    run_variant("no_net", 8, True, no_net=True)
-    run_variant("knn_posterior", 8, True, no_net="knn")
+    # BENCH_VARIANTS: comma-separated subset (the unfused 'xla' composition
+    # faults the device at batch>=1024 — exclude it for large-batch runs)
+    sel = os.environ.get("BENCH_VARIANTS")
+    wanted = set(sel.split(",")) if sel else None
+    for name, args, kw in [
+            ("full", (8, True), {}),
+            ("xla", (8, False), {}),
+            ("layers4", (4, True), {}),
+            ("layers1", (1, True), {}),
+            ("no_net", (8, True), {"no_net": True}),
+            ("knn_posterior", (8, True), {"no_net": "knn"})]:
+        if wanted is None or name in wanted:
+            run_variant(name, *args, **kw)
 
 
 if __name__ == "__main__":
