@@ -25,6 +25,12 @@ Measured verdicts (v5e, B=96 pad 32, two runs, noise ~ +-4 us/layer):
   - ln_mode=mxu_merged2: one merged (TNK,2H)@(2H,2) moment dot —
     228-230 vs 224 us (the wide-N broadcast of mu costs the saving).
   - indicator h2x (h2x_vpu=False) with mxu_half LN: 226-228 vs 224.
+  - merged_gather="where" (round 3c): the one-K-tile [r_feat | 0pad | P]
+    left operand built by a single iota select (NO lane concat), weight
+    stack sublane-aligned (rbf rows padded 20->24) — 229 vs 224 us. The
+    in-kernel operand build + weight pad/concat still outweighs the ~16
+    saved narrow-K MXU passes; "concat" build measures 235. The fused
+    layer is at its measured local optimum under current Mosaic.
 
 PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_kernel_exp.py
 """
@@ -108,15 +114,31 @@ def _exp_kernel(x_ref, h_ref, invar_ref, idx_ref, ew_ref, mask_ref,
     mf = mask_ref[0]
     ew = ew_ref[0]
 
-    if merged_gather:
+    R_PAD = ((num_rbf + 7) // 8) * 8
+    if merged_gather == "concat":
         # (TNK, R + TN) one-K-tile left operand, built once per program
         left = jnp.concatenate([r_feat, P], axis=1)
+    elif merged_gather == "where":
+        # same merged left operand WITHOUT the lane concat: one iota
+        # select over (TNK, R_PAD + TN) lanes — rbf lanes < R, zero pad
+        # to the sublane-aligned R_PAD, indicator beyond. centers_ref
+        # arrives host-padded to R_PAD + TN lanes.
+        CW = R_PAD + TN
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TNK, CW), 1)
+        rbf_all = jnp.exp(coeff * (dist - centers_ref[:, :CW]) ** 2)
+        ind = (lanes - R_PAD) == idx_ref[0]
+        left = jnp.where(lanes < num_rbf, rbf_all,
+                         jnp.where(lanes < R_PAD, 0.0, ind.astype(f32)))
 
     def edge_attention(g, dst_feats, h_src, q, mode):
         dst = mdot(dst_feats, g["w_dst"][:]) + g["b_dst"][:]
         srcp = mdot(h_src, g["w_src"][:])
-        if merged_gather:
+        if merged_gather == "concat":
             stacked = jnp.concatenate([g["w_rbf"][:], srcp], axis=0)
+            joint = mdot(left, stacked) + rep_rows(dst)
+        elif merged_gather == "where":
+            w_rbf_pad = jnp.pad(g["w_rbf"][:], ((0, R_PAD - num_rbf), (0, 0)))
+            stacked = jnp.concatenate([w_rbf_pad, srcp], axis=0)
             joint = mdot(left, stacked) + rep_rows(dst)
         elif ablate == "nogather":
             joint = mdot(r_feat, g["w_rbf"][:]) + rep_rows(dst)
@@ -259,6 +281,10 @@ def exp_layer(params, x, h, invar, idx, e_w, nbr_mask, n_heads, num_rbf=20,
     ew2 = e_w.reshape(G_, TNK, 1).astype(jnp.float32)
     mf = nbr_mask.reshape(G_, TNK, 1).astype(jnp.float32)
     centers_np, _ = _rbf_centers_coeff(num_rbf, r_max)
+    if merged_gather == "where":
+        R_PAD = ((num_rbf + 7) // 8) * 8
+        centers_np = np.pad(np.asarray(centers_np).reshape(-1),
+                            (0, R_PAD + T * N_ - num_rbf))[None, :]
     centers = jnp.asarray(centers_np)
     flat_w = [a.reshape(1, -1) if a.ndim == 1 else a
               for a in fl._flatten_params(params)]
@@ -272,7 +298,7 @@ def exp_layer(params, x, h, invar, idx, e_w, nbr_mask, n_heads, num_rbf=20,
         vm((1, TNK, 1), lambda b: (b, 0, 0)),
         vm((1, TNK, 1), lambda b: (b, 0, 0)),
         vm((1, TNK, 1), lambda b: (b, 0, 0)),
-        vm((1, num_rbf), bcast),
+        vm(centers.shape if centers.ndim == 2 else (1, num_rbf), bcast),
     ]
     w_specs = [vm(a.shape, bcast) for a in flat_w]
     kern = functools.partial(
@@ -399,6 +425,10 @@ VARIANTS = [
                          ln_mode="mxu_merged2")),
     ("v34_ind_merged2", dict(T=4, group_max=True, ln_mode="mxu_merged2")),
     ("v35_ind_half", dict(T=4, group_max=True, ln_mode="mxu_half")),
+    ("v36_mergewhere", dict(T=4, h2x_vpu=True, group_max=True,
+                            ln_mode="mxu_half", merged_gather="where")),
+    ("v37_mergeconcat", dict(T=4, h2x_vpu=True, group_max=True,
+                             ln_mode="mxu_half", merged_gather="concat")),
 ]
 
 if __name__ == "__main__":
