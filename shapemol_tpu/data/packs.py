@@ -92,6 +92,17 @@ class PackDataset:
         self._sizes = [self._arr(i, "pos").shape[0]
                        for i in range(len(self._shards))]
         self._offsets = np.cumsum([0] + self._sizes)
+        # a glob that accidentally sweeps up re-encoded variants of the
+        # same pack (e.g. *_voxel / *_dual next to the base shards) would
+        # duplicate molecules and mix conditioning widths — fail loudly
+        if len(self._shards) > 1 and "shape_emb" in self._shards[0]:
+            widths = {self._arr(i, "shape_emb").shape[1:]
+                      for i in range(len(self._shards))}
+            if len(widths) > 1:
+                raise ValueError(
+                    f"pack shards disagree on shape_emb dims {widths} — "
+                    f"the pattern {pattern!r} likely matches re-encoded "
+                    f"variants of the same pack: {self.paths}")
 
     def _arr(self, shard: int, key: str) -> np.ndarray:
         cache = self._cache[shard]

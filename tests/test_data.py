@@ -185,3 +185,23 @@ def test_reference_atomnum_prior_loads():
     ns, ps = prior.distribution(sorted(prior.table)[len(prior.table) // 2])
     np.testing.assert_allclose(ps.sum(), 1.0)
     assert (ns > 0).all() and (ns < 60).all()
+
+
+def test_pack_mixed_conditioning_guard(tmp_path):
+    """A glob that sweeps up re-encoded variants (different shape_emb
+    widths) of the same pack must fail loudly, not silently duplicate
+    molecules (round-3 regression: *_voxel/*_dual packs live next to the
+    base shards)."""
+    import numpy as np
+    import pytest
+    from shapemol_tpu.data.packs import PackDataset
+    base = dict(pos=np.zeros((4, 8, 3), np.float32),
+                v=np.zeros((4, 8), np.int32),
+                node_mask=np.ones((4, 8), bool),
+                shape_emb=np.zeros((4, 32, 3), np.float32))
+    np.savez(tmp_path / "p.shard000.npz", **base)
+    base["shape_emb"] = np.zeros((4, 64, 3), np.float32)
+    np.savez(tmp_path / "p.shard000_dual.npz", **base)
+    with pytest.raises(ValueError, match="shape_emb"):
+        PackDataset(str(tmp_path / "p.*.npz"))
+    assert len(PackDataset(str(tmp_path / "p.shard000.npz"))) == 4
