@@ -69,6 +69,10 @@ def main():
     p.add_argument("config")
     p.add_argument("--ckpt", required=True)
     p.add_argument("--data_id", type=int, default=0)
+    p.add_argument("--end_id", type=int, default=None,
+                   help="sample targets [data_id, end_id) in ONE process "
+                        "(model load + compile paid once; per-target "
+                        "results stay idempotent)")
     p.add_argument("--test_pack", default=None,
                    help="pack pattern with test shapes (defaults to the "
                         "processed test set in the config)")
@@ -88,9 +92,14 @@ def main():
     misc.seed_all(cfg.sample.seed)
     logger = misc.get_logger("sample")
     os.makedirs(args.result_path, exist_ok=True)
-    out_file = os.path.join(args.result_path, f"result_{args.data_id}.npz")
-    if os.path.exists(out_file):
-        logger.info(f"{out_file} exists — skipping (idempotent sharding)")
+    end_id = args.end_id if args.end_id is not None else args.data_id + 1
+    todo = [i for i in range(args.data_id, end_id)
+            if not os.path.exists(os.path.join(args.result_path,
+                                               f"result_{i}.npz"))]
+    for i in range(args.data_id, end_id):
+        if i not in todo:
+            logger.info(f"result_{i}.npz exists — skipping (idempotent)")
+    if not todo:
         return
 
     atom_mode = cfg.data.get_path("transform.ligand_atom_mode", "add_aromatic")
@@ -103,8 +112,16 @@ def main():
             cfg.data.get("processed_path", "./processed_data"),
             f"shapemol_{cfg.data.get('version', 'v1')}.*.npz")
     test_set = PackDataset(pack_pattern)
-    datum = test_set[args.data_id]
-    logger.info(f"target {args.data_id}: "
+    for data_id in todo:
+        _sample_one(args, cfg, logger, atom_mode, net, model_cfg,
+                    variables, test_set, data_id)
+
+
+def _sample_one(args, cfg, logger, atom_mode, net, model_cfg, variables,
+                test_set, data_id):
+    out_file = os.path.join(args.result_path, f"result_{data_id}.npz")
+    datum = test_set[data_id]
+    logger.info(f"target {data_id}: "
                 f"{int(datum['node_mask'].sum())} atoms")
 
     num_samples = cfg.sample.num_samples
@@ -114,7 +131,7 @@ def main():
 
     # atom-count distribution
     mode = cfg.sample.get("sample_num_atoms", "size")
-    rng_np = np.random.default_rng(cfg.sample.seed + args.data_id)
+    rng_np = np.random.default_rng(cfg.sample.seed + data_id)
     ref_n = int(datum["node_mask"].sum())
     if mode == "size" and args.atomnum_prior \
             and os.path.exists(args.atomnum_prior):
@@ -168,7 +185,7 @@ def main():
         ref_pos = datum["pos"][datum["node_mask"]]
         n_per = 20
         var = 1.0 / (12.0 * 1.7)
-        g_rng = np.random.default_rng(cfg.sample.seed + args.data_id)
+        g_rng = np.random.default_rng(cfg.sample.seed + data_id)
         pts = (ref_pos[:, None, :]
                + g_rng.normal(scale=np.sqrt(var),
                               size=(ref_pos.shape[0], n_per, 3)))
@@ -204,7 +221,7 @@ def main():
 
     all_pos, all_v, all_mask, time_list = [], [], [], []
     all_ptraj, all_vtraj = [], []
-    rng = jax.random.PRNGKey(cfg.sample.seed + args.data_id)
+    rng = jax.random.PRNGKey(cfg.sample.seed + data_id)
     for b0 in range(0, num_samples, bs):
         rng, sub = jax.random.split(rng)
         counts = jnp.asarray(sample_counts[b0:b0 + bs])
@@ -238,7 +255,7 @@ def main():
         node_mask=np.concatenate(all_mask),
         ref_pos=datum["pos"], ref_v=datum["v"],
         ref_node_mask=datum["node_mask"],
-        time_list=np.asarray(time_list), data_id=args.data_id,
+        time_list=np.asarray(time_list), data_id=data_id,
         atom_mode=atom_mode, **extra)
     logger.info(f"saved {out_file}")
 
