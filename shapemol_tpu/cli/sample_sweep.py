@@ -106,10 +106,19 @@ def main():
     prior = (AtomNumPrior.load(args.atomnum_prior)
              if args.atomnum_prior and os.path.exists(args.atomnum_prior)
              else None)
+    guidance = "none"
+    if cfg.sample.get("use_pointcloud", False):
+        guidance = "pointcloud"
+    elif cfg.sample.get("use_mesh", False):
+        logger.warning("use_mesh guidance is not supported by the sweep "
+                       "CLI (use cli/sample.py); sampling unguided")
     scfg = smp.SamplerConfig(
         num_steps=cfg.sample.get("num_steps",
                                  model_cfg.num_diffusion_timesteps),
-        center_pos_mode=cfg.sample.get("center_pos_mode", "none"))
+        center_pos_mode=cfg.sample.get("center_pos_mode", "none"),
+        guidance=guidance,
+        grad_step=cfg.sample.get("grad_step", 0),
+        pointcloud_radius=cfg.sample.get("use_pointcloud_radius", 0.2))
 
     # flat work list of (target, sample) pairs. Atom counts are drawn
     # up-front so the work can be BUCKETED by pad size: a 24-atom molecule
@@ -117,6 +126,26 @@ def main():
     # MOSES2 molecules fit 24-32 atoms (cf. bench: 48 vs 24 mol/s/chip).
     work = [(t, s) for t in target_ids for s in range(num_samples)]
     rng_np = np.random.default_rng(cfg.sample.seed)
+    cloud_cache = {}
+    if guidance == "pointcloud":
+        # per-target volume-filling Gaussian cloud (20 pts/atom,
+        # var=1/(12*1.7) — reference utils/shape.py:164-173), padded to a
+        # fixed (max_atoms*20, 3) with far-away dummies so every bucket
+        # shares one compiled scan (same construction as cli/sample.py)
+        n_per, var = 20, 1.0 / (12.0 * 1.7)
+        for t in target_ids:
+            d = test_set[t]
+            ref_pos = d["pos"][d["node_mask"]]
+            g_rng = np.random.default_rng(cfg.sample.seed + t)
+            pts = (ref_pos[:, None, :]
+                   + g_rng.normal(scale=np.sqrt(var),
+                                  size=(ref_pos.shape[0], n_per, 3)))
+            pts = pts.reshape(-1, 3).astype(np.float32)
+            pad_rows = N * n_per - pts.shape[0]
+            if pad_rows > 0:
+                pts = np.concatenate(
+                    [pts, np.full((pad_rows, 3), 1e6, np.float32)], axis=0)
+            cloud_cache[t] = pts
     vox_cache = {}
     if prior is not None:
         from shapemol_tpu.geom.voxel import voxel_count
@@ -157,11 +186,12 @@ def main():
     def run_for(n_pad):
         if n_pad not in _run_cache:
             @jax.jit
-            def run(rng, shapes, counts):
+            def run(rng, shapes, counts, clouds):
                 pos0, v0, mask = smp.make_init_state(
                     rng, B, n_pad, counts, model_cfg.num_net_classes)
                 out = smp.sample_diffusion(net, sched, variables, rng,
-                                           pos0, v0, mask, shapes, scfg)
+                                           pos0, v0, mask, shapes, scfg,
+                                           cloud=clouds)
                 return out["pos"], out["v"], mask
             _run_cache[n_pad] = run
         return _run_cache[n_pad]
@@ -180,17 +210,21 @@ def main():
         data = [test_set[t] for (t, _), _ in chunk]
         shapes = jnp.asarray(np.stack([d["shape_emb"] for d in data]))
         counts = np.array([c for _, c in chunk])
+        clouds = (jnp.asarray(np.stack([cloud_cache[t]
+                                        for (t, _), _ in chunk]))
+                  if guidance == "pointcloud" else None)
 
         rng, sub = jax.random.split(rng)
         run = run_for(n_pad)
         if args.profile and first:
             with jax.profiler.trace(os.path.join(args.result_path,
                                                  "profile")):
-                pos, v, mask = run(sub, shapes, jnp.asarray(counts))
+                pos, v, mask = run(sub, shapes, jnp.asarray(counts),
+                                   clouds)
                 pos.block_until_ready()
             logger.info("profile trace saved")
         else:
-            pos, v, mask = run(sub, shapes, jnp.asarray(counts))
+            pos, v, mask = run(sub, shapes, jnp.asarray(counts), clouds)
             pos.block_until_ready()
         first = False
         pos, v, mask = np.asarray(pos), np.asarray(v), np.asarray(mask)

@@ -99,3 +99,58 @@ def test_sample_sweep_bucketed(tmp_path, monkeypatch):
         if bucket_pad < 24:
             assert np.abs(pos[:, bucket_pad:]).max() == 0.0
         assert (v[mask.astype(bool)] < vocab.feature_dim("add_aromatic")).all()
+
+
+def test_sample_sweep_guided(tmp_path, monkeypatch):
+    """Point-cloud guidance in the sweep: per-target volume-filling
+    Gaussian clouds (padded to a fixed size) ride the bucketed batches."""
+    rng = np.random.default_rng(1)
+    num_classes = vocab.feature_dim("add_aromatic")
+    mc = build_score_model_config(AttrDict.convert(MODEL_CFG), num_classes)
+    net = ShapeDiffusionNet(mc)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 3)),
+                         jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), bool),
+                         jnp.zeros((1, 8, 3)), jnp.zeros((1,), jnp.int32))
+    state = create_train_state(variables["params"],
+                               variables.get("batch_stats"), make_optimizer())
+    ckpt_dir = tmp_path / "checkpoints"
+    save_checkpoint(str(ckpt_dir), 1, state, config={"model": MODEL_CFG})
+
+    records = []
+    for k in range(2):
+        records.append(MoleculeRecord(
+            pos=rng.standard_normal((12, 3)).astype(np.float32),
+            v=rng.integers(0, 8, 12).astype(np.int32),
+            shape_emb=rng.standard_normal((8, 3)).astype(np.float32),
+            smiles=f"C{k}"))
+    pack = tmp_path / "toy_test_v1.shard000_00000.npz"
+    write_pack(str(pack), records, n_max=16)
+
+    cfg_yml = tmp_path / "sampling.yml"
+    cfg_yml.write_text(
+        "data:\n  name: shapemol\n  dataset: toy\n  version: toy\n"
+        f"  processed_path: {tmp_path}\n"
+        "  transform:\n    ligand_atom_mode: add_aromatic\n"
+        "sample:\n  seed: 7\n  num_samples: 2\n  num_steps: 8\n"
+        "  center_pos_mode: none\n  sample_num_atoms: size\n"
+        "  guide_stren: 0.0\n  threshold_type: null\n"
+        "  use_pointcloud: True\n  use_pointcloud_radius: 0.2\n"
+        "  grad_step: 2\n")
+
+    out_dir = tmp_path / "results"
+    from shapemol_tpu.cli import sample_sweep
+    monkeypatch.setattr(sys, "argv", [
+        "sample_sweep", str(cfg_yml), "--ckpt", str(ckpt_dir),
+        "--test_pack", str(pack), "--result_path", str(out_dir),
+        "--batch_size", "4", "--max_atoms", "16",
+        "--start", "0", "--end", "2",
+        "--pad_costs", str(tmp_path / "no_such_costs.json")])
+    sample_sweep.main()
+
+    for t in range(2):
+        with np.load(out_dir / f"result_{t}.npz") as z:
+            pos, mask = z["pos"], z["node_mask"]
+        assert np.isfinite(pos).all()
+        # guided positions must stay near the target (clouds are centered
+        # on the reference atoms; dummies live at 1e6 and must never pull)
+        assert np.abs(pos[mask.astype(bool)]).max() < 100.0
