@@ -102,16 +102,21 @@ def pointcloud_guidance(rng: Array, pred_pos: Array, cloud: Array,
         nearest = jax.vmap(lambda c, i: c[i])(cloud, idx)             # (B,N,k,3)
         return mean_d, jnp.mean(nearest, axis=2)
 
+    # one kNN evaluation per iteration, exactly the reference's loop
+    # structure (molopt_score_model.py:715-731): each move uses the
+    # neighbor set from the PREVIOUS query, and the post-move query both
+    # checks convergence and supplies the next move's neighbors (was
+    # 2 evals/iter + 1 = 11; now num_iters + 1 = 6 — the guidance cost
+    # is ~all kNN, so this is ~45% off the guided-step overhead).
     pos = pred_pos
-    mean_d, _ = knn_mean(pos)
+    mean_d, nearest_mean = knn_mean(pos)
     far = (mean_d > radius) & node_mask                                # (B,N)
     for it in range(num_iters):
         rng, sub = jax.random.split(rng)
-        _, nearest_mean = knn_mean(pos)
         scal = jax.random.uniform(sub, mean_d.shape) * (0.8 - ratio) + ratio
         proposal = pos - scal[..., None] * (pos - nearest_mean)
         pos = jnp.where(far[..., None], proposal, pos)
-        mean_d, _ = knn_mean(pos)
+        mean_d, nearest_mean = knn_mean(pos)
         far = far & (mean_d > radius)      # converged atoms stop moving
     return pos
 
