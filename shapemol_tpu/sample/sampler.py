@@ -97,10 +97,26 @@ def pointcloud_guidance(rng: Array, pred_pos: Array, cloud: Array,
               - 2 * jnp.einsum("bnd,bpd->bnp", pos, cloud,
                                preferred_element_type=jnp.float32)
               + jnp.sum(cloud * cloud, axis=-1)[:, None, :])
-        neg, idx = jax.lax.top_k(-d2, k)
-        mean_d = jnp.mean(jnp.sqrt(jnp.maximum(-neg, 0.0)), axis=-1)  # (B,N)
-        nearest = jax.vmap(lambda c, i: c[i])(cloud, idx)             # (B,N,k,3)
-        return mean_d, jnp.mean(nearest, axis=2)
+        # k iterative masked-argmin rounds instead of lax.top_k + gather:
+        # the sort over P(~960) lanes and the (B,N,k,3) gather dominate the
+        # guided-step cost; each round here is a lane-min reduce plus a
+        # onehot @ cloud batched matmul (MXU). Lowest-index tie-break ==
+        # stable-sort top_k selection.
+        P = d2.shape[-1]
+        iota = jnp.arange(P, dtype=jnp.int32)
+        d_sum = 0.0
+        near_sum = 0.0
+        dd = d2
+        for _ in range(k):
+            dmin = jnp.min(dd, axis=-1, keepdims=True)            # (B,N,1)
+            j_star = jnp.min(jnp.where(dd == dmin, iota, P), axis=-1,
+                             keepdims=True)                        # (B,N,1)
+            onehot = (iota == j_star).astype(jnp.float32)          # (B,N,P)
+            d_sum += jnp.sqrt(jnp.maximum(dmin[..., 0], 0.0))
+            near_sum += jnp.einsum("bnp,bpd->bnd", onehot, cloud,
+                                   preferred_element_type=jnp.float32)
+            dd = jnp.where(onehot > 0, jnp.inf, dd)
+        return d_sum / k, near_sum / k
 
     # one kNN evaluation per iteration, exactly the reference's loop
     # structure (molopt_score_model.py:715-731): each move uses the
