@@ -43,9 +43,23 @@ def masked_knn(pos: Array, mask: Array, k: int) -> tuple[Array, Array]:
     eye = jnp.eye(N, dtype=bool)
     invalid = (~mask[:, None, :]) | (~mask[:, :, None]) | eye[None]
     d2 = jnp.where(invalid, _BIG, d2)
-    neg, idx = jax.lax.top_k(-d2, k)           # (B, N, K)
-    nbr_mask = neg > -_BIG / 2
-    return idx.astype(jnp.int32), nbr_mask
+    # k iterative masked-argmin rounds instead of lax.top_k: the bitonic
+    # sort over the lane axis costs more than k lane-min reduces at every
+    # batch size measured (0.163 vs 0.186 ms at B=100, 0.34 vs 0.53 at
+    # B=1024 — STATUS r3). Lowest-index tie-break == the stable sort's
+    # selection, so neighbor sets AND ordering are bit-identical.
+    iota = jnp.arange(N, dtype=jnp.int32)
+    idxs, masks = [], []
+    for _ in range(k):
+        dmin = jnp.min(d2, axis=-1, keepdims=True)               # (B,N,1)
+        j_star = jnp.min(jnp.where(d2 == dmin, iota, N), axis=-1,
+                         keepdims=True)
+        masks.append(dmin[..., 0] < _BIG / 2)
+        idxs.append(jnp.where(j_star == N, 0, j_star)[..., 0])
+        d2 = jnp.where(iota == j_star, _BIG, d2)
+    idx = jnp.stack(idxs, axis=-1).astype(jnp.int32)             # (B,N,K)
+    nbr_mask = jnp.stack(masks, axis=-1)
+    return idx, nbr_mask
 
 
 def gather_neighbors(x: Array, idx: Array) -> Array:
