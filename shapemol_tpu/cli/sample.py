@@ -9,7 +9,13 @@ num_samples times, atom counts from the voxel-keyed prior ('size') or the
 reference molecule ('ref'), random init, sample_diffusion, save
 result_{data_id}); idempotent skip-if-exists sharding over --data_id.
 TPU-native: the whole batch runs as one jitted lax.scan; guidance stays
-on-device (pointcloud kNN / SDF grid)."""
+on-device (pointcloud kNN / SDF grid).
+
+Result file format (result_{data_id}.npz): pos (S,N,3), v (S,N) and the
+trajectories are PADDED dense arrays — rows are meaningful ONLY where
+node_mask (S,N) is True; padded rows contain sampler noise (pos) and -1 (v).
+Consumers must apply node_mask before using pos/v (eval/evaluate.py does).
+Same convention for ref_pos/ref_v under ref_node_mask."""
 from __future__ import annotations
 
 import argparse
@@ -183,6 +189,12 @@ def _sample_one(args, cfg, logger, atom_mode, net, model_cfg, variables,
         # cloud: with a surface cloud and radius 0.2 A, interior atoms get
         # dragged onto the shell (measured: completeness 0.95 -> 0.40).
         ref_pos = datum["pos"][datum["node_mask"]]
+        if ref_pos.shape[0] > N:
+            raise SystemExit(
+                f"target {data_id} has {ref_pos.shape[0]} atoms > "
+                f"--max_atoms {N}; rerun with --max_atoms >= "
+                f"{ref_pos.shape[0]} (the guidance cloud is padded to a "
+                "fixed max_atoms*20 size)")
         n_per = 20
         var = 1.0 / (12.0 * 1.7)
         g_rng = np.random.default_rng(cfg.sample.seed + data_id)

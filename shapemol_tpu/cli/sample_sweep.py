@@ -10,6 +10,12 @@ and optionally shards targets across hosts (--shard_index/--num_shards).
 Usage:
   python -m shapemol_tpu.cli.sample_sweep configs/sampling/default.yml \
       --ckpt <dir> --start 0 --end 1000 [--batch_size 100] [--profile]
+
+Result file format (result_{t}.npz): pos (S,N,3) and v (S,N) are PADDED
+dense arrays — rows are meaningful ONLY where node_mask (S,N) is True;
+padded rows contain sampler noise (pos) and -1 (v). Consumers must apply
+node_mask before using pos/v (eval/evaluate.py does). Same convention for
+ref_pos/ref_v under ref_node_mask.
 """
 from __future__ import annotations
 
@@ -54,6 +60,10 @@ def main():
                         "devices; no cross-host collectives needed)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--allow-unguided", dest="allow_unguided",
+                   action="store_true",
+                   help="permit configs requesting unsupported guidance "
+                        "(use_mesh) to fall back to unguided sampling")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first batch")
     p.add_argument("--pad_costs",
@@ -110,8 +120,15 @@ def main():
     if cfg.sample.get("use_pointcloud", False):
         guidance = "pointcloud"
     elif cfg.sample.get("use_mesh", False):
-        logger.warning("use_mesh guidance is not supported by the sweep "
-                       "CLI (use cli/sample.py); sampling unguided")
+        # fail hard: silently sampling unguided would write result files
+        # indistinguishable from guided output (ADVICE r3)
+        if not args.allow_unguided:
+            raise SystemExit(
+                "use_mesh guidance is not supported by the sweep CLI — "
+                "use cli/sample.py for mesh-SDF guidance, or pass "
+                "--allow-unguided to deliberately sample without guidance")
+        logger.warning("use_mesh requested but --allow-unguided set: "
+                       "sampling UNGUIDED")
     scfg = smp.SamplerConfig(
         num_steps=cfg.sample.get("num_steps",
                                  model_cfg.num_diffusion_timesteps),
@@ -136,6 +153,12 @@ def main():
         for t in target_ids:
             d = test_set[t]
             ref_pos = d["pos"][d["node_mask"]]
+            if ref_pos.shape[0] > N:
+                raise SystemExit(
+                    f"target {t} has {ref_pos.shape[0]} atoms > --max_atoms "
+                    f"{N}; rerun with --max_atoms >= {ref_pos.shape[0]} "
+                    "(the guidance cloud is padded to a fixed "
+                    "max_atoms*20 size)")
             g_rng = np.random.default_rng(cfg.sample.seed + t)
             pts = (ref_pos[:, None, :]
                    + g_rng.normal(scale=np.sqrt(var),

@@ -89,22 +89,26 @@ def _bt_str(bt: BondType) -> str:
     return f"{bt[0]}-{bt[1]}|{bt[2]}"
 
 
+def _jsd(gt: np.ndarray, profile: Optional[np.ndarray]) -> Optional[float]:
+    """JSD between a reference histogram and an observed profile; None when
+    the profile is missing or empty (all-zero profiles would make scipy's
+    jensenshannon emit a divide-by-zero warning and return nan)."""
+    if profile is None or float(np.sum(profile)) <= 0.0:
+        return None
+    return float(jensenshannon(gt, profile))
+
+
 def eval_bond_length_profile(profile: Dict[BondType, np.ndarray],
                              reference: Dict[BondType, np.ndarray]
                              ) -> Dict[str, Optional[float]]:
-    metrics = {}
-    for bt, gt in reference.items():
-        key = f"JSD_{_bt_str(bt)}"
-        metrics[key] = (None if bt not in profile
-                        else float(jensenshannon(gt, profile[bt])))
-    return metrics
+    return {f"JSD_{_bt_str(bt)}": _jsd(gt, profile.get(bt))
+            for bt, gt in reference.items()}
 
 
 def eval_pair_length_profile(profile: Dict[str, np.ndarray],
                              reference: Dict[str, np.ndarray]
                              ) -> Dict[str, Optional[float]]:
-    return {f"JSD_{k}": (None if k not in profile
-                         else float(jensenshannon(gt, profile[k])))
+    return {f"JSD_{k}": _jsd(gt, profile.get(k))
             for k, gt in reference.items()}
 
 

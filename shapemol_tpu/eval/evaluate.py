@@ -175,6 +175,14 @@ def evaluate_generation(results: Dict[int, List[Tuple[np.ndarray, Sequence[int]]
         "qed_mean": float(np.mean(qed_list)) if qed_list else None,
         "sa_mean": float(np.mean(sa_list)) if sa_list else None,
         "logp_mean": float(np.mean(logp_list)) if logp_list else None,
+        # qed/logp provenance: our logP is a calibrated Wildman-Crippen
+        # approximation (class-averaged polar contributions — RDKit is not
+        # installable in this environment), and QED consumes it; neither is
+        # directly comparable to reference RDKit values. SA IS exact
+        # (bit-exact Morgan environments, eval/morgan.py). See
+        # eval/scoring.py and tests/test_scoring_calibration.py.
+        "qed_logp_note": "approximate (calibrated Crippen-flavored logP; "
+                         "QED consumes it); sa_mean is exact",
         "lipinski_mean": (float(np.mean(lipinski_list))
                           if lipinski_list else None),
         "ring_size_ratio": scoring.ring_size_counts(complete_mols),

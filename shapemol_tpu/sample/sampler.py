@@ -106,17 +106,27 @@ def pointcloud_guidance(rng: Array, pred_pos: Array, cloud: Array,
         iota = jnp.arange(P, dtype=jnp.int32)
         d_sum = 0.0
         near_sum = 0.0
+        denom = 0.0
         dd = d2
+        # finite sentinel (not jnp.inf): if k >= P every entry would become
+        # inf and dmin/near_mean would silently go inf/NaN; with _BIG the
+        # `ok` guard drops exhausted rounds from the averages instead
+        # (same construction as ops/knn.py).
+        _BIG = 1e10
         for _ in range(k):
             dmin = jnp.min(dd, axis=-1, keepdims=True)            # (B,N,1)
+            ok = (dmin[..., 0] < _BIG / 2).astype(jnp.float32)     # (B,N)
             j_star = jnp.min(jnp.where(dd == dmin, iota, P), axis=-1,
                              keepdims=True)                        # (B,N,1)
-            onehot = (iota == j_star).astype(jnp.float32)          # (B,N,P)
-            d_sum += jnp.sqrt(jnp.maximum(dmin[..., 0], 0.0))
+            onehot = ((iota == j_star).astype(jnp.float32)
+                      * ok[..., None])                             # (B,N,P)
+            d_sum += ok * jnp.sqrt(jnp.maximum(dmin[..., 0], 0.0))
             near_sum += jnp.einsum("bnp,bpd->bnd", onehot, cloud,
                                    preferred_element_type=jnp.float32)
-            dd = jnp.where(onehot > 0, jnp.inf, dd)
-        return d_sum / k, near_sum / k
+            denom += ok
+            dd = jnp.where(onehot > 0, _BIG, dd)
+        denom = jnp.maximum(denom, 1.0)
+        return d_sum / denom, near_sum / denom[..., None]
 
     # one kNN evaluation per iteration, exactly the reference's loop
     # structure (molopt_score_model.py:715-731): each move uses the
