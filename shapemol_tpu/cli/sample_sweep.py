@@ -60,6 +60,14 @@ def main():
                         "devices; no cross-host collectives needed)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--guide_stren", type=float, default=None,
+                   help="override sample.guide_stren (classifier-free "
+                        "guidance strength; >0 requires a CFG-trained "
+                        "checkpoint, configs/training/moses2_real_cfg.yml)")
+    p.add_argument("--threshold_type", default=None,
+                   help="override sample.threshold_type for CFG mixing: "
+                        "reference_threshold | dynamic_threshold | rescale "
+                        "| none")
     p.add_argument("--allow-unguided", dest="allow_unguided",
                    action="store_true",
                    help="permit configs requesting unsupported guidance "
@@ -83,6 +91,11 @@ def main():
         args.num_shards = pcount
 
     cfg = load_config(args.config)
+    if args.guide_stren is not None:
+        cfg.sample.guide_stren = args.guide_stren
+    if args.threshold_type is not None:
+        cfg.sample.threshold_type = (None if args.threshold_type == "none"
+                                     else args.threshold_type)
     misc.seed_all(cfg.sample.seed)
     logger = misc.get_logger("sample_sweep")
     if pcount > 1:
@@ -133,9 +146,15 @@ def main():
         num_steps=cfg.sample.get("num_steps",
                                  model_cfg.num_diffusion_timesteps),
         center_pos_mode=cfg.sample.get("center_pos_mode", "none"),
+        guide_stren=cfg.sample.get("guide_stren", 0.0),
+        threshold_type=cfg.sample.get("threshold_type", None),
+        threshold_args=dict(cfg.sample.get("threshold_args", {}) or {}),
         guidance=guidance,
         grad_step=cfg.sample.get("grad_step", 0),
         pointcloud_radius=cfg.sample.get("use_pointcloud_radius", 0.2))
+    # the reference applies the bounds clamp only inside its CFG branch
+    # (molopt_score_model.py:616-642); same default here, overridable
+    use_bound = bool(cfg.sample.get("use_bound", scfg.guide_stren > 0))
 
     # flat work list of (target, sample) pairs. Atom counts are drawn
     # up-front so the work can be BUCKETED by pad size: a 24-atom molecule
@@ -209,12 +228,12 @@ def main():
     def run_for(n_pad):
         if n_pad not in _run_cache:
             @jax.jit
-            def run(rng, shapes, counts, clouds):
+            def run(rng, shapes, counts, clouds, bounds):
                 pos0, v0, mask = smp.make_init_state(
                     rng, B, n_pad, counts, model_cfg.num_net_classes)
                 out = smp.sample_diffusion(net, sched, variables, rng,
                                            pos0, v0, mask, shapes, scfg,
-                                           cloud=clouds)
+                                           bounds=bounds, cloud=clouds)
                 return out["pos"], out["v"], mask
             _run_cache[n_pad] = run
         return _run_cache[n_pad]
@@ -236,6 +255,8 @@ def main():
         clouds = (jnp.asarray(np.stack([cloud_cache[t]
                                         for (t, _), _ in chunk]))
                   if guidance == "pointcloud" else None)
+        bounds = (jnp.asarray(np.stack([d["bounds"] for d in data]))
+                  if use_bound else None)
 
         rng, sub = jax.random.split(rng)
         run = run_for(n_pad)
@@ -243,11 +264,12 @@ def main():
             with jax.profiler.trace(os.path.join(args.result_path,
                                                  "profile")):
                 pos, v, mask = run(sub, shapes, jnp.asarray(counts),
-                                   clouds)
+                                   clouds, bounds)
                 pos.block_until_ready()
             logger.info("profile trace saved")
         else:
-            pos, v, mask = run(sub, shapes, jnp.asarray(counts), clouds)
+            pos, v, mask = run(sub, shapes, jnp.asarray(counts), clouds,
+                               bounds)
             pos.block_until_ready()
         first = False
         pos, v, mask = np.asarray(pos), np.asarray(v), np.asarray(mask)
