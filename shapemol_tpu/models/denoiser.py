@@ -39,7 +39,8 @@ import numpy as np
 
 from shapemol_tpu.nn.basic import MLP, GaussianSmearing
 from shapemol_tpu.nn.vn import VNLinearLeakyReLU
-from shapemol_tpu.ops.knn import masked_knn, masked_knn_d, gather_neighbors
+from shapemol_tpu.ops.knn import (masked_knn, masked_knn_d,
+                                  masked_knn_d_rank, gather_neighbors)
 
 Array = jax.Array
 EPS = 1e-6
@@ -81,6 +82,11 @@ class DenoiserConfig:
     fuse_layer: bool = True             # whole-layer mega-kernel (applies
                                         # when num_x2h == num_h2x == 1 and
                                         # topology conditioning is off)
+    knn_impl: str = "argmin"            # argmin | rank: serial masked-
+                                        # argmin rounds vs the parallel
+                                        # rank-select reformulation
+                                        # (ops/knn.py, identical outputs;
+                                        # pick by measurement)
     attention_impl: str = "indicator"   # indicator | dense. The dense
                                         # masked N x N formulation
                                         # (kernels/dense_layer.py) measured
@@ -466,7 +472,9 @@ class UniTransformer(nn.Module):
                 # MLP skips its (B,N,K,3) gather + difference-norm
                 # (reference recomputes that geometry at
                 # uni_transformer.py:475-481 — VERDICT r3 item 5)
-                idx, nbr_mask, d_sel = masked_knn_d(x, node_mask, cfg.knn)
+                knn_fn = (masked_knn_d_rank if cfg.knn_impl == "rank"
+                          else masked_knn_d)
+                idx, nbr_mask, d_sel = knn_fn(x, node_mask, cfg.knn)
             elif cfg.cutoff_mode == "cov_radius":
                 idx, nbr_mask = covalent_knn(x, v, node_mask, radii_table,
                                              cfg.cov_k)

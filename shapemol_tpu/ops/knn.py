@@ -82,6 +82,38 @@ def masked_knn_d(pos: Array, mask: Array, k: int
     return idx, nbr_mask, dist
 
 
+def masked_knn_d_rank(pos: Array, mask: Array, k: int
+                      ) -> tuple[Array, Array, Array]:
+    """Rank-based masked kNN: same outputs/tie-break as masked_knn_d, but
+    with NO serial dependency between the k selections.
+
+    The k iterative argmin rounds form a serial chain of ~4 VPU ops each;
+    here every candidate's rank is computed in ONE comparison pass
+    (rank_ij = #{j': d2_ij' < d2_ij} + index tie-break), then the k
+    selections are independent reduces over a (B, N, N, k) one-hot —
+    trading serial latency for parallel width. Selection (including
+    lowest-index tie-break) is bit-identical to masked_knn_d.
+    """
+    B, N, _ = pos.shape
+    d2 = pairwise_sqdist(pos)
+    eye = jnp.eye(N, dtype=bool)
+    invalid = (~mask[:, None, :]) | (~mask[:, :, None]) | eye[None]
+    d2 = jnp.where(invalid, _BIG, d2)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    # rank over candidates j (axis -1 indexes the compared-against j')
+    lt = d2[:, :, None, :] < d2[:, :, :, None]            # (B,N,j,j')
+    eq = ((d2[:, :, None, :] == d2[:, :, :, None])
+          & (iota[None, None, None, :] < iota[None, None, :, None]))
+    rank = jnp.sum((lt | eq).astype(jnp.int32), axis=-1)  # (B,N,N)
+    sel = rank[..., None] == jnp.arange(k, dtype=jnp.int32)  # (B,N,N,k)
+    idx = jnp.min(jnp.where(sel, iota[None, None, :, None], N), axis=2)
+    d2_sel = jnp.sum(jnp.where(sel, d2[..., None], 0.0), axis=2)
+    nbr_mask = (idx < N) & (d2_sel < _BIG / 2)
+    idx = jnp.where(idx == N, 0, idx).astype(jnp.int32)
+    dist = jnp.sqrt(jnp.maximum(d2_sel, 0.0))
+    return idx, nbr_mask, dist
+
+
 def gather_neighbors(x: Array, idx: Array) -> Array:
     """Gather per-node features at neighbor indices.
 

@@ -251,3 +251,24 @@ def test_edge_feat_requires_v():
     h, x, mask, shape = _make_inputs(14)
     with pytest.raises(ValueError):
         model.init(jax.random.PRNGKey(0), h, x, mask, shape)
+
+
+def test_masked_knn_rank_variant_parity():
+    """masked_knn_d_rank (parallel rank-select) must match masked_knn_d
+    (serial argmin rounds) bit-for-bit on idx/mask and to fp tolerance on
+    distances, including padded rows, tiny molecules, and k > n_valid-1."""
+    from shapemol_tpu.ops.knn import masked_knn_d, masked_knn_d_rank
+    rng = np.random.default_rng(12)
+    for (B, N, k, full) in [(3, 12, 5, True), (2, 6, 4, False),
+                            (1, 4, 6, False)]:
+        pos = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+        counts = (np.full(B, N) if full
+                  else rng.integers(1, N + 1, B))
+        mask = jnp.asarray(np.arange(N)[None] < counts[:, None])
+        i1, m1, d1 = masked_knn_d(pos, mask, k)
+        i2, m2, d2 = masked_knn_d_rank(pos, mask, k)
+        assert np.array_equal(np.asarray(m1), np.asarray(m2))
+        mm = np.asarray(m1)
+        assert np.array_equal(np.asarray(i1)[mm], np.asarray(i2)[mm])
+        np.testing.assert_allclose(np.asarray(d1)[mm], np.asarray(d2)[mm],
+                                   atol=1e-6)
