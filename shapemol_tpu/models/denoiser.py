@@ -82,11 +82,13 @@ class DenoiserConfig:
     fuse_layer: bool = True             # whole-layer mega-kernel (applies
                                         # when num_x2h == num_h2x == 1 and
                                         # topology conditioning is off)
-    knn_impl: str = "argmin"            # argmin | rank: serial masked-
-                                        # argmin rounds vs the parallel
-                                        # rank-select reformulation
-                                        # (ops/knn.py, identical outputs;
-                                        # pick by measurement)
+    knn_impl: str = "rank"              # rank | argmin: parallel rank-
+                                        # select vs serial masked-argmin
+                                        # rounds (ops/knn.py, identical
+                                        # outputs). rank measured faster
+                                        # on-chip: 0.045 vs 0.050 ms/call,
+                                        # 1.950 vs 1.973 ms full step
+                                        # (tools/bench_knn_step.py, r4)
     attention_impl: str = "indicator"   # indicator | dense. The dense
                                         # masked N x N formulation
                                         # (kernels/dense_layer.py) measured
