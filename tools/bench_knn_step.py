@@ -2,8 +2,9 @@
 item 5: attack the non-layer ~15% of the sampling step).
 
 Times, scan-wrapped to amortize dispatch (like tools/bench_kernel_exp.py):
-  knn_argmin    — masked_knn_d, k serial masked-argmin rounds (production)
-  knn_rank      — masked_knn_d_rank, parallel rank-select
+  knn_argmin    — masked_knn_d, k serial masked-argmin rounds
+  knn_rank      — masked_knn_d_rank, parallel rank-select (production
+                  default since r4: 0.045 vs 0.050 ms/call on-chip)
   knn_ew_*      — same + the global edge-weight MLP on the returned d
   step_argmin   — full 1000-step sampler, knn_impl=argmin
   step_rank     — full sampler, knn_impl=rank
