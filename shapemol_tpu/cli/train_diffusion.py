@@ -199,6 +199,8 @@ def main():
     batcher = BucketBatcher(dataset, cfg.train.batch_size * n_acc,
                             random_rotate=bool(cfg.data.get_path(
                                 "transform.random_rot", False)),
+                            pos_jitter=float(cfg.data.get_path(
+                                "transform.pos_jitter", 0.0)),
                             seed=cfg.train.seed, indices=split["train"],
                             process_index=pid, process_count=pcount)
     val_batcher = BucketBatcher(dataset, cfg.train.batch_size,

@@ -37,6 +37,12 @@ class BucketBatcher:
     batch_size: int
     buckets: Sequence[int] = DEFAULT_BUCKETS
     random_rotate: bool = False
+    pos_jitter: float = 0.0        # Gaussian sigma (Å) added to training
+                                   # coordinates — data-smoothing
+                                   # augmentation probe (r4); the shape
+                                   # embedding/cloud stay un-jittered so
+                                   # conditioning still describes the
+                                   # clean molecule
     seed: int = 0
     drop_oversize: bool = True
     indices: Optional[np.ndarray] = None     # restrict to a split
@@ -92,13 +98,18 @@ class BucketBatcher:
                 batch["shape_emb"] = batch["shape_emb"] @ R
             if "cloud" in batch:
                 batch["cloud"] = batch["cloud"] @ R
+        if self.pos_jitter > 0:
+            batch["pos"] = batch["pos"] + rng.normal(
+                0.0, self.pos_jitter, batch["pos"].shape).astype(
+                    batch["pos"].dtype)
         return batch
 
     def fixed_batches(self, n_batches: int, seed: int = 1
                       ) -> List[Dict[str, np.ndarray]]:
         """Deterministic validation batches."""
         rng = np.random.default_rng(seed)
-        it = iter(dataclasses.replace(self, seed=seed, random_rotate=False))
+        it = iter(dataclasses.replace(self, seed=seed, random_rotate=False,
+                                      pos_jitter=0.0))
         return [next(it) for _ in range(n_batches)]
 
 

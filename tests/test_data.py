@@ -97,6 +97,23 @@ def test_random_rotation_augment(tmp_path):
     assert not np.allclose(x1["pos"], x2["pos"])
 
 
+def test_pos_jitter_augment(tmp_path):
+    path = str(tmp_path / "pack.npz")
+    write_pack(path, _records(10, 6), n_max=32)
+    ds = PackDataset(path)
+    b1 = BucketBatcher(ds, 4, seed=1, pos_jitter=0.0)
+    b2 = BucketBatcher(ds, 4, seed=1, pos_jitter=0.05)
+    x1, x2 = next(iter(b1)), next(iter(b2))
+    d = x2["pos"] - x1["pos"]
+    assert not np.allclose(d, 0)
+    assert np.abs(d).max() < 0.05 * 6          # bounded by ~6 sigma
+    # validation batches must stay un-jittered
+    f1 = b1.fixed_batches(2, seed=7)
+    f2 = b2.fixed_batches(2, seed=7)
+    for a, b in zip(f1, f2):
+        np.testing.assert_array_equal(a["pos"], b["pos"])
+
+
 def test_split_moses2():
     s = split_moses2(100000)
     assert len(s["val"]) <= 1000
