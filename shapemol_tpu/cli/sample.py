@@ -182,33 +182,11 @@ def _sample_one(args, cfg, logger, atom_mode, net, model_cfg, variables,
     bounds = (jnp.asarray(np.tile(datum["bounds"][None], (bs, 1, 1)))
               if "bounds" in datum and use_bound else None)
     if guidance == "pointcloud":
-        # the reference guides against a VOLUME-FILLING cloud sampled from
-        # atom-centered Gaussians of the target molecule (20 points/atom,
-        # var = 1/(12*1.7) — utils/shape.py:164-173, built at
-        # scripts/sample_diffusion.py:237-241), NOT the 512-point surface
-        # cloud: with a surface cloud and radius 0.2 A, interior atoms get
-        # dragged onto the shell (measured: completeness 0.95 -> 0.40).
-        ref_pos = datum["pos"][datum["node_mask"]]
-        if ref_pos.shape[0] > N:
-            raise SystemExit(
-                f"target {data_id} has {ref_pos.shape[0]} atoms > "
-                f"--max_atoms {N}; rerun with --max_atoms >= "
-                f"{ref_pos.shape[0]} (the guidance cloud is padded to a "
-                "fixed max_atoms*20 size)")
-        n_per = 20
-        var = 1.0 / (12.0 * 1.7)
-        g_rng = np.random.default_rng(cfg.sample.seed + data_id)
-        pts = (ref_pos[:, None, :]
-               + g_rng.normal(scale=np.sqrt(var),
-                              size=(ref_pos.shape[0], n_per, 3)))
-        pts = pts.reshape(-1, 3).astype(np.float32)
-        # pad to a fixed (max_atoms * n_per, 3) with far-away dummies
-        # (never among the k=3 nearest) so every target shares one
-        # compiled scan instead of recompiling per atom count
-        pad_rows = N * n_per - pts.shape[0]
-        if pad_rows > 0:
-            pts = np.concatenate(
-                [pts, np.full((pad_rows, 3), 1e6, np.float32)], axis=0)
+        # volume-filling Gaussian cloud, shared construction with the
+        # sweep CLI (parity constants live in sample/clouds.py)
+        from shapemol_tpu.sample.clouds import build_guidance_cloud
+        pts = build_guidance_cloud(datum["pos"][datum["node_mask"]], N,
+                                   cfg.sample.seed + data_id, data_id)
         cloud = jnp.asarray(np.tile(pts[None], (bs, 1, 1)))
     if guidance == "mesh_sdf":
         from shapemol_tpu.geom.shape_emb import sdf_grid_for_guidance
@@ -257,15 +235,22 @@ def _sample_one(args, cfg, logger, atom_mode, net, model_cfg, variables,
         logger.info(f"batch {b0 // bs}: {take} molecules in {dt:.2f}s "
                     f"({take / dt:.2f} mol/s)")
 
+    mask_all = np.concatenate(all_mask)
+    # sentinel -1 on padded v rows (same contract as cli/sample_sweep.py):
+    # consumers that ignore node_mask must not mistake sampler-init noise
+    # for class-0..K atoms
+    v_all = np.where(mask_all, np.concatenate(all_v), -1)
     extra = {}
     if args.record_traj:
         extra["pos_traj"] = np.concatenate(all_ptraj)
-        extra["v_traj"] = np.concatenate(all_vtraj)
+        extra["v_traj"] = np.where(mask_all[:, None, :],
+                                   np.concatenate(all_vtraj), -1)
     np.savez_compressed(
         out_file,
-        pos=np.concatenate(all_pos), v=np.concatenate(all_v),
-        node_mask=np.concatenate(all_mask),
-        ref_pos=datum["pos"], ref_v=datum["v"],
+        pos=np.concatenate(all_pos), v=v_all,
+        node_mask=mask_all,
+        ref_pos=datum["pos"],
+        ref_v=np.where(datum["node_mask"], datum["v"], -1),
         ref_node_mask=datum["node_mask"],
         time_list=np.asarray(time_list), data_id=data_id,
         atom_mode=atom_mode, **extra)

@@ -164,30 +164,13 @@ def main():
     rng_np = np.random.default_rng(cfg.sample.seed)
     cloud_cache = {}
     if guidance == "pointcloud":
-        # per-target volume-filling Gaussian cloud (20 pts/atom,
-        # var=1/(12*1.7) — reference utils/shape.py:164-173), padded to a
-        # fixed (max_atoms*20, 3) with far-away dummies so every bucket
-        # shares one compiled scan (same construction as cli/sample.py)
-        n_per, var = 20, 1.0 / (12.0 * 1.7)
+        # per-target volume-filling Gaussian cloud; parity-critical
+        # constants shared with cli/sample.py via sample/clouds.py
+        from shapemol_tpu.sample.clouds import build_guidance_cloud
         for t in target_ids:
             d = test_set[t]
-            ref_pos = d["pos"][d["node_mask"]]
-            if ref_pos.shape[0] > N:
-                raise SystemExit(
-                    f"target {t} has {ref_pos.shape[0]} atoms > --max_atoms "
-                    f"{N}; rerun with --max_atoms >= {ref_pos.shape[0]} "
-                    "(the guidance cloud is padded to a fixed "
-                    "max_atoms*20 size)")
-            g_rng = np.random.default_rng(cfg.sample.seed + t)
-            pts = (ref_pos[:, None, :]
-                   + g_rng.normal(scale=np.sqrt(var),
-                                  size=(ref_pos.shape[0], n_per, 3)))
-            pts = pts.reshape(-1, 3).astype(np.float32)
-            pad_rows = N * n_per - pts.shape[0]
-            if pad_rows > 0:
-                pts = np.concatenate(
-                    [pts, np.full((pad_rows, 3), 1e6, np.float32)], axis=0)
-            cloud_cache[t] = pts
+            cloud_cache[t] = build_guidance_cloud(
+                d["pos"][d["node_mask"]], N, cfg.sample.seed + t, t)
     vox_cache = {}
     if prior is not None:
         from shapemol_tpu.geom.voxel import voxel_count
@@ -255,8 +238,11 @@ def main():
         clouds = (jnp.asarray(np.stack([cloud_cache[t]
                                         for (t, _), _ in chunk]))
                   if guidance == "pointcloud" else None)
+        # like cli/sample.py:182-183, tolerate packs without a bounds key
+        # (bounds is optional in data/packs.py) instead of a KeyError
         bounds = (jnp.asarray(np.stack([d["bounds"] for d in data]))
-                  if use_bound else None)
+                  if use_bound and all("bounds" in d for d in data)
+                  else None)
 
         rng, sub = jax.random.split(rng)
         run = run_for(n_pad)
@@ -299,7 +285,8 @@ def main():
                     pos=np.stack([r[0] for r in results[t]]),
                     v=np.stack([r[1] for r in results[t]]),
                     node_mask=np.stack([r[2] for r in results[t]]),
-                    ref_pos=datum["pos"], ref_v=datum["v"],
+                    ref_pos=datum["pos"],
+                    ref_v=np.where(datum["node_mask"], datum["v"], -1),
                     ref_node_mask=datum["node_mask"],
                     time_list=np.asarray([]), data_id=t,
                     atom_mode=atom_mode)

@@ -92,7 +92,10 @@ def masked_knn_d_rank(pos: Array, mask: Array, k: int
     (rank_ij = #{j': d2_ij' < d2_ij} + index tie-break), then the k
     selections are independent reduces over a (B, N, N, k) one-hot —
     trading serial latency for parallel width. Selection (including
-    lowest-index tie-break) is bit-identical to masked_knn_d.
+    lowest-index tie-break) is bit-identical to masked_knn_d at every
+    VALID slot (nbr_mask True). At INVALID slots the two variants differ
+    (argmin yields idx 0, rank yields the invalid candidate's own index):
+    idx must never be consumed without applying nbr_mask.
     """
     B, N, _ = pos.shape
     d2 = pairwise_sqdist(pos)

@@ -113,9 +113,16 @@ def pointcloud_guidance(rng: Array, pred_pos: Array, cloud: Array,
         # `ok` guard drops exhausted rounds from the averages instead
         # (same construction as ops/knn.py).
         _BIG = 1e10
-        for _ in range(k):
+        for r in range(k):
             dmin = jnp.min(dd, axis=-1, keepdims=True)            # (B,N,1)
             ok = (dmin[..., 0] < _BIG / 2).astype(jnp.float32)     # (B,N)
+            # Round 0 always counts: nothing has been masked yet, so dmin
+            # is the atom's true nearest-point distance. Gating it on
+            # magnitude would classify a wildly diverged atom (d^2 >=
+            # _BIG/2) as mean_d=0 "converged" and freeze it instead of
+            # pulling it back toward the cloud.
+            if r == 0:
+                ok = jnp.ones_like(ok)
             j_star = jnp.min(jnp.where(dd == dmin, iota, P), axis=-1,
                              keepdims=True)                        # (B,N,1)
             onehot = ((iota == j_star).astype(jnp.float32)

@@ -63,20 +63,14 @@ def main():
         return body
 
     def knn_ew(fn):
-        # d -> rbf(20) -> dense 128 -> LN -> relu -> dense 1 -> sigmoid,
-        # the e_w MLP at production widths
-        w0 = jnp.asarray(rng.standard_normal((20, 128)) * 0.1, jnp.float32)
-        w1 = jnp.asarray(rng.standard_normal((128, 1)) * 0.1, jnp.float32)
-        offs = jnp.linspace(0.0, 10.0, 20)
+        # the e_w MLP at production widths (shared with bench_step_split)
+        from bench_common import ew_mlp, make_ew_params
+        w0, w1, offs = make_ew_params(rng)
 
         def body(p):
             idx, m, d = fn(p, mask, 8)
-            rbf = jnp.exp(-0.5 * (d[..., None] - offs) ** 2 / 0.25)
-            h = rbf @ w0
-            h = (h - h.mean(-1, keepdims=True)) / (h.std(-1, keepdims=True)
-                                                   + 1e-5)
-            ew = jax.nn.sigmoid(jax.nn.relu(h) @ w1)
-            return (ew[..., 0] * m).sum() * jnp.ones_like(p)
+            ew = ew_mlp(d, w0, w1, offs)
+            return (ew * m).sum() * jnp.ones_like(p)
         return body
 
     results = {}

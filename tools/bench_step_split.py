@@ -94,21 +94,17 @@ def main():
     ms_fwd = timed(forward, pos)
     print(json.dumps({"part": "forward", "ms": ms_fwd}))
 
-    # 3) kNN + e_w MLP alone (production rank impl + production widths)
-    w0 = jnp.asarray(rng.standard_normal((20, 128)) * 0.1, jnp.float32)
-    w1 = jnp.asarray(rng.standard_normal((128, 1)) * 0.1, jnp.float32)
-    offs = jnp.linspace(0.0, 10.0, 20)
+    # 3) kNN + e_w MLP alone (production rank impl + production widths,
+    # shared approximation with bench_knn_step via bench_common)
+    from bench_common import ew_mlp, make_ew_params
+    w0, w1, offs = make_ew_params(rng)
 
     @jax.jit
     def knn_ew(p0):
         def step(p, _):
             idx, m, d = masked_knn_d_rank(p, mask, 8)
-            rbf = jnp.exp(-0.5 * (d[..., None] - offs) ** 2 / 0.25)
-            h = rbf @ w0
-            h = (h - h.mean(-1, keepdims=True)) / (h.std(-1, keepdims=True)
-                                                   + 1e-5)
-            ew = jax.nn.sigmoid(jax.nn.relu(h) @ w1)
-            return p + 1e-9 * (ew[..., 0] * m).sum(), None
+            ew = ew_mlp(d, w0, w1, offs)
+            return p + 1e-9 * (ew * m).sum(), None
         pf, _ = jax.lax.scan(step, p0, None, length=SCAN)
         return pf
     ms_knn = timed(knn_ew, pos)
