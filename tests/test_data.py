@@ -222,3 +222,19 @@ def test_pack_mixed_conditioning_guard(tmp_path):
     with pytest.raises(ValueError, match="shape_emb"):
         PackDataset(str(tmp_path / "p.*.npz"))
     assert len(PackDataset(str(tmp_path / "p.shard000.npz"))) == 4
+
+
+def test_build_guidance_cloud():
+    """Shared cloud builder (sample/clouds.py): deterministic, padded to
+    max_atoms*20 with far dummies, SystemExit on oversized targets."""
+    import pytest
+    from shapemol_tpu.sample.clouds import build_guidance_cloud
+    ref = np.random.default_rng(3).standard_normal((7, 3)).astype(np.float32)
+    c1 = build_guidance_cloud(ref, 10, seed=42, target_id=0)
+    c2 = build_guidance_cloud(ref, 10, seed=42, target_id=0)
+    assert c1.shape == (200, 3) and c1.dtype == np.float32
+    np.testing.assert_array_equal(c1, c2)
+    assert (c1[:140] < 1e5).all()            # real points near the atoms
+    assert (c1[140:] == 1e6).all()           # pad rows are far dummies
+    with pytest.raises(SystemExit):
+        build_guidance_cloud(ref, 6, seed=0, target_id=9)

@@ -272,3 +272,14 @@ def test_masked_knn_rank_variant_parity():
         assert np.array_equal(np.asarray(i1)[mm], np.asarray(i2)[mm])
         np.testing.assert_allclose(np.asarray(d1)[mm], np.asarray(d2)[mm],
                                    atol=1e-6)
+    # The contract is masked-equivalence ONLY: at invalid slots the two
+    # variants deliberately differ (argmin yields idx 0, rank yields the
+    # invalid candidate's own index) — pin that so nobody consumes idx
+    # without nbr_mask on the strength of the "bit-identical" claim.
+    pos = jnp.asarray(rng.standard_normal((1, 5, 3)), jnp.float32)
+    mask = jnp.asarray(np.array([[True, True, False, False, False]]))
+    i1, m1, _ = masked_knn_d(pos, mask, 4)
+    i2, m2, _ = masked_knn_d_rank(pos, mask, 4)
+    inv = ~np.asarray(m1)
+    assert (np.asarray(i1)[inv] == 0).all()
+    assert not np.array_equal(np.asarray(i1)[inv], np.asarray(i2)[inv])

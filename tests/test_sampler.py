@@ -151,3 +151,17 @@ def test_pointcloud_guidance_pulls_far_atoms():
     assert d_far < 5.0                       # far atom moved inward
     np.testing.assert_allclose(np.asarray(out[0, 1]),
                                np.asarray(pos[0, 1]))  # near atom untouched
+
+
+def test_pointcloud_guidance_diverged_atom_not_frozen():
+    """Regression (r4 self-review): an atom whose nearest-point distance
+    exceeds the _BIG/2 exhaustion sentinel must still be treated as far
+    and pulled toward the cloud — round 0 is a true measurement, not an
+    exhausted round."""
+    rng = jax.random.PRNGKey(0)
+    npts = np.random.default_rng(1).standard_normal((1, 64, 3))
+    cloud = jnp.asarray(npts, jnp.float32)
+    pos = jnp.array([[[1e5, 0.0, 0.0]]])     # d^2 = 1e10 >= _BIG/2
+    mask = jnp.ones((1, 1), bool)
+    out = smp.pointcloud_guidance(rng, pos, cloud, mask, radius=1.0)
+    assert float(jnp.linalg.norm(out[0, 0])) < 1e5   # moved, not frozen
