@@ -99,6 +99,12 @@ def test_sample_sweep_bucketed(tmp_path, monkeypatch):
         if bucket_pad < 24:
             assert np.abs(pos[:, bucket_pad:]).max() == 0.0
         assert (v[mask.astype(bool)] < vocab.feature_dim("add_aromatic")).all()
+        # documented result-file contract (module docstring): padded v
+        # rows — sampled AND reference — carry the -1 sentinel
+        assert (v[~mask.astype(bool)] == -1).all()
+        with np.load(f) as z:
+            ref_v, ref_mask = z["ref_v"], z["ref_node_mask"]
+        assert (ref_v[~ref_mask.astype(bool)] == -1).all()
 
 
 def test_sample_sweep_guided(tmp_path, monkeypatch):
