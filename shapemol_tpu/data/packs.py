@@ -83,8 +83,13 @@ class PackDataset:
     a plain ndarray (the dense layout is the working set anyway)."""
 
     def __init__(self, pattern: str):
-        self.paths = sorted(glob.glob(pattern)) if "*" in pattern \
-            else [pattern]
+        # comma-separated patterns train on multiple corpora at once
+        # (e.g. the real pack + a self-distillation pack); shards must
+        # share one schema/n_max
+        paths: List[str] = []
+        for part in [p.strip() for p in pattern.split(",") if p.strip()]:
+            paths += glob.glob(part) if "*" in part else [part]
+        self.paths = sorted(set(paths))
         if not self.paths:
             raise FileNotFoundError(pattern)
         self._shards = [np.load(p, allow_pickle=False) for p in self.paths]

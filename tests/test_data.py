@@ -238,3 +238,14 @@ def test_build_guidance_cloud():
     assert (c1[140:] == 1e6).all()           # pad rows are far dummies
     with pytest.raises(SystemExit):
         build_guidance_cloud(ref, 6, seed=0, target_id=9)
+
+
+def test_pack_multi_pattern(tmp_path):
+    """Comma-separated pack patterns train on multiple corpora at once."""
+    write_pack(str(tmp_path / "a.shard000.npz"), _records(5, 1), n_max=32)
+    write_pack(str(tmp_path / "b.shard000.npz"), _records(7, 2), n_max=32)
+    ds = PackDataset(f"{tmp_path}/a.*.npz, {tmp_path}/b.*.npz")
+    assert len(ds) == 12
+    # single path (no glob) still works through the same code path
+    ds1 = PackDataset(str(tmp_path / "a.shard000.npz"))
+    assert len(ds1) == 5
