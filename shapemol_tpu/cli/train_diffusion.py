@@ -193,10 +193,30 @@ def main():
     dsched = model_cfg.make_schedule()
 
     n_acc = int(cfg.train.get("n_acc_batch", 1))
+    # importance-weighted corpus mixing: when a comma-glob joins a small
+    # real pack with a large self-distillation pack, data.real_mix keeps
+    # the real corpus at a fixed expected share of every batch instead of
+    # letting it be drowned at the corpus-size ratio
+    sample_weights = None
+    mix = cfg.data.get("real_mix", None)
+    if mix:
+        real_idx = dataset.indices_from(str(mix["pattern"]))
+        frac = float(mix["fraction"])
+        n_real, n_syn = len(real_idx), len(dataset) - len(real_idx)
+        if not (0.0 < frac < 1.0) or n_real == 0 or n_syn == 0:
+            raise SystemExit(
+                f"data.real_mix: fraction must be in (0,1) and pattern "
+                f"{mix['pattern']!r} must split the dataset (matched "
+                f"{n_real} of {len(dataset)})")
+        sample_weights = np.ones(len(dataset), dtype=np.float64)
+        sample_weights[real_idx] = (frac / (1.0 - frac)) * (n_syn / n_real)
+        logger.info(f"corpus mixing: {n_real} real molecules weighted to "
+                    f"{frac:.0%} of every batch ({n_syn} synthetic)")
     # per-host loading: every process follows the same rng stream (same
     # bucket -> same static shapes) but gathers only its own slice of each
     # global batch (reusing the preprocessing shard convention)
     batcher = BucketBatcher(dataset, cfg.train.batch_size * n_acc,
+                            sample_weights=sample_weights,
                             random_rotate=bool(cfg.data.get_path(
                                 "transform.random_rot", False)),
                             pos_jitter=float(cfg.data.get_path(

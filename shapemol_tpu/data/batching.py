@@ -46,6 +46,11 @@ class BucketBatcher:
     seed: int = 0
     drop_oversize: bool = True
     indices: Optional[np.ndarray] = None     # restrict to a split
+    # per-dataset-index sampling weights (len == len(dataset)). Lets a
+    # small real corpus keep a fixed expected share of every batch when
+    # globbed together with a much larger self-distillation pack
+    # (importance-weighted corpus mixing); None = uniform.
+    sample_weights: Optional[np.ndarray] = None
     # multi-host: every process runs the SAME rng stream (identical bucket
     # choice -> identical static shapes across hosts) but gathers only its
     # own batch_size/process_count rows
@@ -73,13 +78,30 @@ class BucketBatcher:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed)
         bucket_keys = list(self._by_bucket)
-        weights = np.array([len(self._by_bucket[b]) for b in bucket_keys],
-                           dtype=np.float64)
+        if self.sample_weights is not None:
+            w_all = np.asarray(self.sample_weights, dtype=np.float64)
+            if w_all.shape[0] != len(self.dataset):
+                raise ValueError(
+                    f"sample_weights has {w_all.shape[0]} entries for a "
+                    f"{len(self.dataset)}-molecule dataset")
+            per_bucket_p = {b: w_all[sel] / max(w_all[sel].sum(), 1e-30)
+                            for b, sel in self._by_bucket.items()}
+            weights = np.array([w_all[self._by_bucket[b]].sum()
+                                for b in bucket_keys], dtype=np.float64)
+        else:
+            per_bucket_p = {b: None for b in self._by_bucket}
+            weights = np.array([len(self._by_bucket[b]) for b in bucket_keys],
+                               dtype=np.float64)
         weights /= weights.sum()
         while True:
             b = bucket_keys[rng.choice(len(bucket_keys), p=weights)]
-            idxs = rng.choice(self._by_bucket[b], size=self.batch_size,
-                              replace=len(self._by_bucket[b]) < self.batch_size)
+            pool = self._by_bucket[b]
+            p = per_bucket_p[b]
+            # weighted draws are with-replacement: a high-weight corpus is
+            # *supposed* to repeat within a batch when it is tiny
+            idxs = rng.choice(pool, size=self.batch_size, p=p,
+                              replace=(p is not None
+                                       or len(pool) < self.batch_size))
             yield self._make_batch(idxs, b, rng)
 
     def _make_batch(self, idxs, bucket: int, rng) -> Dict[str, np.ndarray]:

@@ -139,3 +139,16 @@ class PackDataset:
         return np.concatenate([self._arr(i, "node_mask").sum(axis=1)
                                for i in range(len(self._shards))]
                               ).astype(np.int64)
+
+    def indices_from(self, substring: str) -> np.ndarray:
+        """Dataset indices whose shard path contains `substring`.
+
+        Lets callers tell corpora apart when the pattern globs several
+        packs together (e.g. the real training pack vs a self-distillation
+        pack) — used for importance-weighted corpus mixing."""
+        out = []
+        for i, p in enumerate(self.paths):
+            if substring in p:
+                out.append(np.arange(self._offsets[i], self._offsets[i + 1]))
+        return (np.concatenate(out) if out
+                else np.zeros((0,), dtype=np.int64))

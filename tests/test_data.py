@@ -249,3 +249,49 @@ def test_pack_multi_pattern(tmp_path):
     # single path (no glob) still works through the same code path
     ds1 = PackDataset(str(tmp_path / "a.shard000.npz"))
     assert len(ds1) == 5
+
+
+def test_weighted_corpus_mixing(tmp_path):
+    """sample_weights keeps a tiny 'real' pack at a fixed expected batch
+    share when globbed with a large synthetic pack (the distillation-mix
+    dial in cli/train_diffusion.py data.real_mix)."""
+    # tag each corpus through the v channel so drawn molecules are
+    # identifiable inside a yielded batch (real: v==14, synthetic: v==3)
+    def tagged(n, seed, tag):
+        recs = _records(n, seed)
+        for r in recs:
+            r.v[:] = tag
+        return recs
+
+    real = str(tmp_path / "real.shard000.npz")
+    syn = str(tmp_path / "distill.shard000.npz")
+    write_pack(real, tagged(10, 1, 14), n_max=32)
+    write_pack(syn, tagged(90, 2, 3), n_max=32)
+    ds = PackDataset(f"{real},{syn}")
+    real_idx = ds.indices_from("real.shard")
+    assert len(real_idx) == 10
+    assert ds.indices_from("nope.shard").shape == (0,)
+
+    frac = 0.5
+    n_syn = len(ds) - len(real_idx)
+    w = np.ones(len(ds))
+    w[real_idx] = (frac / (1 - frac)) * (n_syn / len(real_idx))
+
+    def real_share(batcher, n_batches=150):
+        it = iter(batcher)
+        hits = tot = 0
+        for _ in range(n_batches):
+            batch = next(it)
+            first_atom = batch["v"][:, 0]       # every row 0 is a real atom
+            hits += int((first_atom == 14).sum())
+            tot += first_atom.shape[0]
+        return hits / tot
+
+    got = real_share(BucketBatcher(ds, batch_size=16, buckets=(32,),
+                                   seed=3, sample_weights=w))
+    assert abs(got - frac) < 0.04, got
+
+    # uniform (no weights) leaves the real share at the corpus-size ratio
+    got_u = real_share(BucketBatcher(ds, batch_size=16, buckets=(32,),
+                                     seed=3))
+    assert abs(got_u - 0.1) < 0.04, got_u
