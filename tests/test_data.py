@@ -295,3 +295,10 @@ def test_weighted_corpus_mixing(tmp_path):
     got_u = real_share(BucketBatcher(ds, batch_size=16, buckets=(32,),
                                      seed=3))
     assert abs(got_u - 0.1) < 0.04, got_u
+
+    # multi-bucket: the marginal share still holds when molecules split
+    # across size buckets (production configs bucket by atom count, so the
+    # bucket-selection weights must aggregate sample_weights per bucket)
+    got_mb = real_share(BucketBatcher(ds, batch_size=16, buckets=(16, 32),
+                                      seed=5, sample_weights=w))
+    assert abs(got_mb - frac) < 0.05, got_mb
