@@ -55,7 +55,20 @@ def build_dataset(cfg, args, logger):
     pack_pattern = cfg.data.get("pack_pattern") or os.path.join(
         cfg.data.get("processed_path", "./processed_data"),
         f"shapemol_{cfg.data.get('version', 'v1')}.*.npz")
-    if not glob.glob(pack_pattern):
+    # comma-joined multi-corpus patterns (PackDataset semantics): every
+    # part must resolve, else preprocessing would be triggered spuriously
+    # and write shards to a prefix derived from the mangled joined string
+    parts = [p.strip() for p in pack_pattern.split(",") if p.strip()]
+    if not all(glob.glob(p) if "*" in p else os.path.exists(p)
+               for p in parts):
+        if len(parts) > 1:
+            missing = [p for p in parts
+                       if not (glob.glob(p) if "*" in p else os.path.exists(p))]
+            raise SystemExit(
+                f"multi-corpus pack_pattern has unresolved parts {missing}; "
+                "build each pack first (cli.ingest_reference / "
+                "tools/make_distill_pack.py) — auto-preprocessing only "
+                "supports a single-pattern corpus")
         if args.synthetic:
             from shapemol_tpu.data.synthetic import random_dataset
             mols = random_dataset(args.synthetic, seed=2021)

@@ -251,6 +251,32 @@ def test_pack_multi_pattern(tmp_path):
     assert len(ds1) == 5
 
 
+def test_build_dataset_multi_pattern_no_spurious_preprocess(tmp_path):
+    """cli.train_diffusion.build_dataset must resolve comma-joined
+    multi-corpus patterns part-by-part: when every part exists it loads
+    them directly (a naive glob of the joined string is always empty and
+    used to trigger a full spurious re-preprocess into a junk prefix);
+    when a part is missing it fails loudly instead of preprocessing."""
+    import logging
+    from shapemol_tpu.cli.train_diffusion import build_dataset
+    from shapemol_tpu.core.config import AttrDict
+
+    write_pack(str(tmp_path / "a.shard000.npz"), _records(5, 1), n_max=32)
+    write_pack(str(tmp_path / "b.shard000.npz"), _records(7, 2), n_max=32)
+    logger = logging.getLogger("test")
+
+    cfg = AttrDict.convert(
+        {"data": {"pack_pattern": f"{tmp_path}/a.*.npz, {tmp_path}/b.*.npz"}})
+    ds = build_dataset(cfg, object(), logger)  # args untouched on this path
+    assert len(ds) == 12
+
+    cfg_missing = AttrDict.convert(
+        {"data": {"pack_pattern":
+                  f"{tmp_path}/a.*.npz, {tmp_path}/missing.*.npz"}})
+    with pytest.raises(SystemExit, match="unresolved parts"):
+        build_dataset(cfg_missing, object(), logger)
+
+
 def test_weighted_corpus_mixing(tmp_path):
     """sample_weights keeps a tiny 'real' pack at a fixed expected batch
     share when globbed with a large synthetic pack (the distillation-mix

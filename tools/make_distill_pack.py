@@ -12,14 +12,24 @@ not just model bias.
 
   python tools/make_distill_pack.py [--src results_full_ema] [--keep 7200]
 
-Writes processed_data/moses2_distill_v1.*.npz with the exact schema of
-the real train pack (n_max 32, cloud kept, own-encoder shape_emb), so a
-training config can glob both packs together.
+--geom_filter adds the signal the valence oracles miss (the corpus-ladder
+diagnostic, tools/corpus_stats.py, shows oracle-only packs carry the
+generator's geometry bias through unchanged — CC-2Å JSD ~0.29 vs real
+0.004): every oracle-passing candidate is scored by the mean negative
+log-likelihood of its bond lengths under the empirical MOSES2 bond-length
+profiles (the same histograms the JSD metric uses,
+utils/evaluation/eval_bond_length_config.py semantics), and only the
+best --keep are retained — rejection sampling on geometry itself.
+
+Writes <out>.*.npz with the exact schema of the real train pack
+(n_max 32, cloud kept, own-encoder shape_emb), so a training config can
+glob both packs together.
 """
 from __future__ import annotations
 
 import argparse
 import glob
+import multiprocessing as mp
 import os
 import sys
 
@@ -29,50 +39,117 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 S1_CKPT = "logs_real/shape_ae_2026_08_16__21_14_54_real/checkpoints"
 REAL_PACK = "processed_data/moses2_train_v1.shard000_00000.npz"
+PROFILES = "processed_data/moses2_profiles.json"
+
+_WORKER = {}
+
+
+def _init_worker(atom_mode: str):
+    # imports deferred so the pool forks cheaply and JAX stays unloaded
+    from shapemol_tpu.eval import bond_length
+    from shapemol_tpu.eval.evaluate import process_sample
+
+    bond_ref, _pair = bond_length.load_profiles(PROFILES)
+    _WORKER.update(process_sample=process_sample, atom_mode=atom_mode,
+                   bond_ref=bond_ref, bond_length=bond_length)
+
+
+def _geom_nll(mol) -> float:
+    """Mean negative log-likelihood of the molecule's tracked bond lengths
+    under the empirical reference histograms; +inf when no tracked bond
+    (ranked last — no geometry evidence, don't trust it)."""
+    bl = _WORKER["bond_length"]
+    ref = _WORKER["bond_ref"]
+    nll, n = 0.0, 0
+    for bt, d in bl.bond_distances_from_mol(mol):
+        prof = ref.get(bt)
+        if prof is None:
+            continue
+        b = int(np.searchsorted(bl.DISTANCE_BINS, d))
+        nll += -float(np.log(prof[b] + 1e-6))
+        n += 1
+    return nll / n if n else float("inf")
+
+
+def _scan_file(path: str):
+    """Oracle-filter one result file; returns (n_seen, [payload...]) where
+    payload = (smiles, geom_nll, atomic_nums, pos, bonds, charges, aromatic)."""
+    process_sample = _WORKER["process_sample"]
+    out, n_seen = [], 0
+    with np.load(path) as z:
+        pos_a, v_a, m_a = z["pos"], z["v"], z["node_mask"]
+    for s in range(pos_a.shape[0]):
+        m = m_a[s].astype(bool)
+        n_seen += 1
+        r = process_sample(pos_a[s][m], v_a[s][m].tolist(),
+                           _WORKER["atom_mode"])
+        # rule-based oracles: valence-stable, reconstructable, single frag
+        if r.mol is None or not r.stable or not r.complete:
+            continue
+        mol = r.mol
+        out.append((r.smiles, _geom_nll(mol), mol.atomic_nums, mol.pos,
+                    mol.bonds, mol.charges, mol.aromatic))
+    return n_seen, out
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--src", default="results_full_ema")
+    p.add_argument("--src", default="results_full_ema",
+                   help="result dir, or comma-separated dirs to pool "
+                        "candidates from several generation runs")
     p.add_argument("--keep", type=int, default=7200)
     p.add_argument("--out", default="processed_data/moses2_distill_v1")
     p.add_argument("--atom_mode", default="add_aromatic")
+    p.add_argument("--geom_filter", action="store_true",
+                   help="rank oracle-passing candidates by bond-length NLL "
+                        "vs the empirical profiles; keep the best --keep")
+    p.add_argument("--workers", type=int, default=8)
     args = p.parse_args()
 
-    from shapemol_tpu.chem import vocab
+    from shapemol_tpu.chem.mol import Molecule
     from shapemol_tpu.core.misc import get_logger
     from shapemol_tpu.data.preprocess import preprocess_molecules
-    from shapemol_tpu.eval.evaluate import process_sample
 
     logger = get_logger("distill")
 
     real_smiles = set(np.load(REAL_PACK)["smiles"].tolist())
+    files = []
+    for src in [s.strip() for s in args.src.split(",") if s.strip()]:
+        files += sorted(glob.glob(os.path.join(src, "result_*.npz")))
 
-    mols, seen = [], set()
-    files = sorted(glob.glob(os.path.join(args.src, "result_*.npz")))
-    n_seen = n_pass = 0
-    for f in files:
-        with np.load(f) as z:
-            pos_a, v_a, m_a = z["pos"], z["v"], z["node_mask"]
-        for s in range(pos_a.shape[0]):
-            m = m_a[s].astype(bool)
-            n_seen += 1
-            r = process_sample(pos_a[s][m], v_a[s][m].tolist(),
-                               args.atom_mode)
-            # rule-based oracles only: valence-stable, reconstructable,
-            # single fragment, novel (not a test-set molecule, not a dup)
-            if (r.mol is None or not r.stable or not r.complete
-                    or r.smiles in seen or r.smiles in real_smiles):
-                continue
-            seen.add(r.smiles)
-            n_pass += 1
-            mols.append(r.mol)
-            if len(mols) >= args.keep:
+    # scan result files in parallel; dedup/novelty in arrival order on the
+    # parent so oracle-only mode reproduces the historical first-come packs
+    candidates, seen = [], set()
+    n_seen = 0
+    with mp.Pool(args.workers, initializer=_init_worker,
+                 initargs=(args.atom_mode,)) as pool:
+        for n_f, rows in pool.imap(_scan_file, files):
+            n_seen += n_f
+            for smiles, nll, nums, pos, bonds, charges, aromatic in rows:
+                if smiles in seen or smiles in real_smiles:
+                    continue
+                seen.add(smiles)
+                candidates.append(
+                    (nll, Molecule(nums, pos, bonds, charges, aromatic)))
+            if not args.geom_filter and len(candidates) >= args.keep:
+                pool.terminate()
                 break
-        if len(mols) >= args.keep:
-            break
+
+    if args.geom_filter:
+        candidates.sort(key=lambda t: t[0])
+        kept_nll = [t[0] for t in candidates[:args.keep] if np.isfinite(t[0])]
+        cut_nll = [t[0] for t in candidates[args.keep:] if np.isfinite(t[0])]
+        logger.info(
+            f"geometry filter: kept NLL mean "
+            f"{float(np.mean(kept_nll)):.3f} vs cut "
+            f"{float(np.mean(cut_nll)):.3f} over {len(candidates)} candidates"
+            if cut_nll else
+            f"geometry filter: only {len(candidates)} candidates "
+            f"(<= keep={args.keep}); filter is a no-op")
+    mols = [m for _nll, m in candidates[:args.keep]]
     logger.info(f"kept {len(mols)} of {n_seen} generated molecules "
-                f"(stable+complete+novel+unique)")
+                f"(stable+complete+novel+unique"
+                f"{'+geom-ranked' if args.geom_filter else ''})")
 
     from shapemol_tpu.cli.train_diffusion import load_shape_encoder
     encoder_fn = load_shape_encoder(S1_CKPT, logger)
