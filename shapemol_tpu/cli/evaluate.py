@@ -50,6 +50,11 @@ def main():
                    help="trajectory index to evaluate (requires results "
                         "sampled with --record_traj; -1 = final state — "
                         "reference evaluate_diffusion_sim.py:135)")
+    p.add_argument("--holdout", default="0:100",
+                   help="data_id half-open range of conditioning targets "
+                        "held out of diffusion training (protocol: 0:100). "
+                        "Metrics gain a by_split block when both splits "
+                        "are present; 'none' disables")
     args = p.parse_args()
 
     logger = misc.get_logger("evaluate")
@@ -118,11 +123,23 @@ def main():
     profiles = eval_bond.load_profiles(prof_path) if prof_path else None
     if prof_path:
         logger.info(f"JSD profiles: {prof_path}")
+    holdout_ids = None
+    if args.holdout and args.holdout.lower() != "none":
+        lo, hi = (int(x) for x in args.holdout.split(":"))
+        holdout_ids = range(lo, hi)
     metrics = evaluate_generation(results, references, atom_mode,
                                   empirical_profiles=profiles,
-                                  num_workers=args.num_workers)
+                                  num_workers=args.num_workers,
+                                  holdout_ids=holdout_ids)
     per_target = metrics.pop("per_target", None)
     for k, v in metrics.items():
+        if k == "by_split" and "holdout" in v:
+            for axis in ("mol_stable", "complete", "JSD_CC_2A",
+                         "rocs_mean", "ref_tanimoto_max"):
+                logger.info(
+                    f"by_split {axis}: holdout={v['holdout'].get(axis)} "
+                    f"train_cond={v['train_cond'].get(axis)}")
+            continue
         logger.info(f"{k}: {v}")
     out = args.out or os.path.join(args.result_dir, "metrics.json")
     with open(out, "w") as f:

@@ -101,11 +101,119 @@ def _mol_payload(m: Molecule):
     return (m.atomic_nums, m.pos, m.bonds, m.charges, m.aromatic)
 
 
+class _Agg:
+    """Accumulator for one evaluation population (all / held-out / in-train).
+
+    Holds exactly the per-sample state the aggregate report needs, so a
+    sample processed once can be charged to several populations (the
+    conditioning-split report reuses the same reconstruction)."""
+
+    def __init__(self):
+        self.n_samples = self.n_stable_mol = 0
+        self.n_recon = self.n_complete = 0
+        self.n_atoms_total = self.n_stable_atoms = 0
+        self.all_smiles: List[str] = []
+        self.complete_mols: List[Molecule] = []
+        self.bond_data, self.pair_data, self.success_pair_data = [], [], []
+        self.atom_counter: Counter = Counter()
+        self.success_atom_counter: Counter = Counter()
+        self.qed_list, self.sa_list = [], []
+        self.logp_list, self.lipinski_list = [], []
+
+    def add(self, r: SampleResult, atomic_nums, pair, chem):
+        self.n_samples += 1
+        self.n_stable_mol += int(r.stable)
+        self.n_atoms_total += r.n_atoms
+        self.n_stable_atoms += r.n_stable_atoms
+        self.atom_counter.update(int(z) for z in atomic_nums)
+        self.pair_data.extend(pair)
+        if r.mol is None:
+            return
+        self.n_recon += 1
+        if not r.complete:
+            return  # reference: 'continue' on '.'-SMILES (line 162-163)
+        self.n_complete += 1
+        self.all_smiles.append(r.smiles)
+        self.complete_mols.append(r.mol)
+        self.bond_data.extend(eval_bond.bond_distances_from_mol(r.mol))
+        self.success_pair_data.extend(pair)
+        self.success_atom_counter.update(int(z) for z in atomic_nums)
+        self.qed_list.append(chem["qed"])
+        self.sa_list.append(chem["sa"])
+        self.logp_list.append(chem["logp"])
+        self.lipinski_list.append(chem["lipinski"])
+
+    def report(self, empirical_profiles: Optional[Tuple]) -> Dict:
+        metrics: Dict = {
+            "n_samples": self.n_samples,
+            "mol_stable": self.n_stable_mol / max(self.n_samples, 1),
+            "atm_stable": self.n_stable_atoms / max(self.n_atoms_total, 1),
+            "recon_success": self.n_recon / max(self.n_samples, 1),
+            "complete": self.n_complete / max(self.n_samples, 1),
+            "uniq_over_complete": (len(set(self.all_smiles)) / self.n_complete
+                                   if self.n_complete else None),
+            "atom_type_jsd": eval_atom.eval_atom_type_distribution(
+                self.atom_counter),
+            "success_atom_type_jsd": eval_atom.eval_atom_type_distribution(
+                self.success_atom_counter),
+            "qed_mean": (float(np.mean(self.qed_list))
+                         if self.qed_list else None),
+            "sa_mean": float(np.mean(self.sa_list)) if self.sa_list else None,
+            "logp_mean": (float(np.mean(self.logp_list))
+                          if self.logp_list else None),
+            # qed/logp provenance: our logP is a calibrated Wildman-Crippen
+            # approximation (class-averaged polar contributions — RDKit is
+            # not installable in this environment), and QED consumes it;
+            # neither is directly comparable to reference RDKit values. SA
+            # IS exact (bit-exact Morgan environments, eval/morgan.py). See
+            # eval/scoring.py and tests/test_scoring_calibration.py.
+            "qed_logp_note": "approximate (calibrated Crippen-flavored "
+                             "logP; QED consumes it); sa_mean is exact",
+            "lipinski_mean": (float(np.mean(self.lipinski_list))
+                              if self.lipinski_list else None),
+            "ring_size_ratio": scoring.ring_size_counts(self.complete_mols),
+        }
+        # distribution JSDs when empirical reference profiles are available:
+        # bond JSD over complete mols (ref:223-226), pair JSD over all
+        # samples (ref:228-231) plus the complete-only variant (ref:236-239)
+        if empirical_profiles is not None:
+            bond_ref, pair_ref = empirical_profiles
+            metrics.update(eval_bond.eval_bond_length_profile(
+                eval_bond.get_bond_length_profile(self.bond_data), bond_ref))
+            metrics.update(eval_bond.eval_pair_length_profile(
+                eval_bond.get_pair_length_profile(self.pair_data), pair_ref))
+            metrics.update({
+                "success_" + k: v
+                for k, v in eval_bond.eval_pair_length_profile(
+                    eval_bond.get_pair_length_profile(self.success_pair_data),
+                    pair_ref).items()})
+        return metrics
+
+
+_SIM_KEYS = ("avg_pairwise_sims", "ref_tanimoto_avg", "ref_tanimoto_max",
+             "rocs_mean", "rocs_max", "esp_sim_mean")
+
+
+def _sim_aggregate(per_target: Dict[int, Dict]) -> Dict:
+    """Mean of each per-target similarity field over a target subset;
+    rocs_std over the per-target means (evaluate_diffusion_sim.py:204-206)."""
+    out: Dict = {}
+    sims = list(per_target.values())
+    for key in _SIM_KEYS:
+        vals = [s[key] for s in sims if s.get(key) is not None]
+        out[key] = float(np.mean(vals)) if vals else None
+    rocs_means = [s["rocs_mean"] for s in sims
+                  if s.get("rocs_mean") is not None]
+    out["rocs_std"] = float(np.std(rocs_means)) if rocs_means else None
+    return out
+
+
 def evaluate_generation(results: Dict[int, List[Tuple[np.ndarray, Sequence[int]]]],
                         references: Optional[Dict[int, Molecule]] = None,
                         atom_mode: str = "add_aromatic",
                         empirical_profiles: Optional[Tuple] = None,
-                        num_workers: int = 0) -> Dict:
+                        num_workers: int = 0,
+                        holdout_ids: Optional[Sequence[int]] = None) -> Dict:
     """results: {target_id: [(pos, v_indices), ...]}.
 
     Returns the aggregate metrics dict (reference fields:
@@ -119,89 +227,46 @@ def evaluate_generation(results: Dict[int, List[Tuple[np.ndarray, Sequence[int]]
       * only COMPLETE molecules ('.'-free SMILES) enter ``all_smiles``, the
         bond-length profile, the chem scores, and the per-target similarity
         pools (lines 162-181);
-      * uniqueness divides by n_complete (line 201)."""
-    n_samples = n_stable_mol = n_recon = n_complete = 0
-    n_atoms_total = n_stable_atoms = 0
-    all_smiles: List[str] = []
-    complete_mols: List[Molecule] = []
-    bond_data, pair_data, success_pair_data = [], [], []
-    atom_counter: Counter = Counter()
-    success_atom_counter: Counter = Counter()
-    qed_list, sa_list, logp_list, lipinski_list = [], [], [], []
+      * uniqueness divides by n_complete (line 201).
+
+    holdout_ids: conditioning-target ids whose references were NEVER in the
+    diffusion training split (the protocol's held-out 0-99). When given and
+    both splits are populated, the report gains a ``by_split`` block with
+    the full aggregate re-computed per conditioning split — the protocol-
+    hygiene disclosure the reference's single-pool report lacks
+    (evaluate_diffusion_sim.py:92-106 joins per-target but never splits)."""
+    holdout = set(int(i) for i in holdout_ids) if holdout_ids else set()
+    acc_all = _Agg()
+    # split accumulators are cheap (list/counter appends on shared objects)
+    acc_hold, acc_train = _Agg(), _Agg()
     per_target_samples: Dict[int, List[Molecule]] = {}
 
     for tid, samples in results.items():
         per_target_samples[tid] = []
+        acc_split = acc_hold if tid in holdout else acc_train
         for pos, v_idx in samples:
-            n_samples += 1
             r = process_sample(np.asarray(pos), v_idx, atom_mode)
-            n_stable_mol += int(r.stable)
-            n_atoms_total += r.n_atoms
-            n_stable_atoms += r.n_stable_atoms
             atomic_nums = vocab.get_atomic_numbers(v_idx, atom_mode)
-            atom_counter.update(int(z) for z in atomic_nums)
             pair = eval_bond.pair_distances_from_pos(
                 np.asarray(pos), atomic_nums)
-            pair_data.extend(pair)
-            if r.mol is None:
-                continue
-            n_recon += 1
-            if not r.complete:
-                continue  # reference: 'continue' on '.'-SMILES (line 162-163)
-            n_complete += 1
-            all_smiles.append(r.smiles)
-            complete_mols.append(r.mol)
-            per_target_samples[tid].append(r.mol)
-            bond_data.extend(eval_bond.bond_distances_from_mol(r.mol))
-            success_pair_data.extend(pair)
-            success_atom_counter.update(int(z) for z in atomic_nums)
-            chem = scoring.get_chem(r.mol)
-            qed_list.append(chem["qed"])
-            sa_list.append(chem["sa"])
-            logp_list.append(chem["logp"])
-            lipinski_list.append(chem["lipinski"])
+            chem = (scoring.get_chem(r.mol)
+                    if (r.mol is not None and r.complete) else None)
+            acc_all.add(r, atomic_nums, pair, chem)
+            if holdout:
+                acc_split.add(r, atomic_nums, pair, chem)
+            if r.mol is not None and r.complete:
+                per_target_samples[tid].append(r.mol)
 
-    metrics: Dict = {
-        "n_samples": n_samples,
-        "mol_stable": n_stable_mol / max(n_samples, 1),
-        "atm_stable": n_stable_atoms / max(n_atoms_total, 1),
-        "recon_success": n_recon / max(n_samples, 1),
-        "complete": n_complete / max(n_samples, 1),
-        "uniq_over_complete": (len(set(all_smiles)) / n_complete
-                               if n_complete else None),
-        "atom_type_jsd": eval_atom.eval_atom_type_distribution(atom_counter),
-        "success_atom_type_jsd": eval_atom.eval_atom_type_distribution(
-            success_atom_counter),
-        "qed_mean": float(np.mean(qed_list)) if qed_list else None,
-        "sa_mean": float(np.mean(sa_list)) if sa_list else None,
-        "logp_mean": float(np.mean(logp_list)) if logp_list else None,
-        # qed/logp provenance: our logP is a calibrated Wildman-Crippen
-        # approximation (class-averaged polar contributions — RDKit is not
-        # installable in this environment), and QED consumes it; neither is
-        # directly comparable to reference RDKit values. SA IS exact
-        # (bit-exact Morgan environments, eval/morgan.py). See
-        # eval/scoring.py and tests/test_scoring_calibration.py.
-        "qed_logp_note": "approximate (calibrated Crippen-flavored logP; "
-                         "QED consumes it); sa_mean is exact",
-        "lipinski_mean": (float(np.mean(lipinski_list))
-                          if lipinski_list else None),
-        "ring_size_ratio": scoring.ring_size_counts(complete_mols),
-    }
-
-    # distribution JSDs when empirical reference profiles are available:
-    # bond JSD over complete mols (ref:223-226), pair JSD over all samples
-    # (ref:228-231) plus the complete-only variant (ref:236-239)
-    if empirical_profiles is not None:
-        bond_ref, pair_ref = empirical_profiles
-        metrics.update(eval_bond.eval_bond_length_profile(
-            eval_bond.get_bond_length_profile(bond_data), bond_ref))
-        metrics.update(eval_bond.eval_pair_length_profile(
-            eval_bond.get_pair_length_profile(pair_data), pair_ref))
-        metrics.update({
-            "success_" + k: v
-            for k, v in eval_bond.eval_pair_length_profile(
-                eval_bond.get_pair_length_profile(success_pair_data),
-                pair_ref).items()})
+    metrics = acc_all.report(empirical_profiles)
+    if holdout and acc_hold.n_samples and acc_train.n_samples:
+        metrics["by_split"] = {
+            "holdout": acc_hold.report(empirical_profiles),
+            "train_cond": acc_train.report(empirical_profiles),
+        }
+    elif holdout and acc_hold.n_samples:
+        # every conditioning target is held-out (the 100-target probes):
+        # record that explicitly so readers know the headline IS held-out
+        metrics["by_split"] = {"note": "all conditioning targets held-out"}
 
     # per-target similarity (process pool like the reference's Pool.imap)
     jobs = []
@@ -221,15 +286,10 @@ def evaluate_generation(results: Dict[int, List[Tuple[np.ndarray, Sequence[int]]
             sims = [_target_similarity(j) for j in jobs]
         per_target = dict(zip(tids, sims))
         metrics["per_target"] = per_target
-        for key in ("avg_pairwise_sims", "ref_tanimoto_avg",
-                    "ref_tanimoto_max", "rocs_mean", "rocs_max",
-                    "esp_sim_mean"):
-            vals = [s[key] for s in sims if s.get(key) is not None]
-            metrics[key] = float(np.mean(vals)) if vals else None
-        # reference rocs std is over the per-target MEANS
-        # (evaluate_diffusion_sim.py:204-206), not within-target
-        rocs_means = [s["rocs_mean"] for s in sims
-                      if s.get("rocs_mean") is not None]
-        metrics["rocs_std"] = (float(np.std(rocs_means))
-                               if rocs_means else None)
+        metrics.update(_sim_aggregate(per_target))
+        if "by_split" in metrics and "holdout" in metrics["by_split"]:
+            metrics["by_split"]["holdout"].update(_sim_aggregate(
+                {t: s for t, s in per_target.items() if t in holdout}))
+            metrics["by_split"]["train_cond"].update(_sim_aggregate(
+                {t: s for t, s in per_target.items() if t not in holdout}))
     return metrics

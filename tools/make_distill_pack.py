@@ -39,6 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 S1_CKPT = "logs_real/shape_ae_2026_08_16__21_14_54_real/checkpoints"
 REAL_PACK = "processed_data/moses2_train_v1.shard000_00000.npz"
+# ALL 1000 reference molecules (train 100-999 AND held-out 0-99): the
+# novelty filter must reject a generation that reproduces a held-out
+# molecule, or the flywheel leaks eval targets into the training corpus
+# (protocol-hygiene fix, VERDICT r4 weak #2)
+TEST_PACK = "processed_data/moses2_test_v1.shard000_00000.npz"
 PROFILES = "processed_data/moses2_profiles.json"
 
 _WORKER = {}
@@ -104,6 +109,11 @@ def main():
                    help="rank oracle-passing candidates by bond-length NLL "
                         "vs the empirical profiles; keep the best --keep")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--exclude_cond_ids", default="0:100",
+                   help="half-open data_id range whose generations never "
+                        "enter the corpus (default: the held-out "
+                        "conditioning targets 0-99, so distillation stays "
+                        "blind to the eval split); 'none' disables")
     args = p.parse_args()
 
     from shapemol_tpu.chem.mol import Molecule
@@ -113,9 +123,18 @@ def main():
     logger = get_logger("distill")
 
     real_smiles = set(np.load(REAL_PACK)["smiles"].tolist())
+    real_smiles |= set(np.load(TEST_PACK)["smiles"].tolist())
     files = []
     for src in [s.strip() for s in args.src.split(",") if s.strip()]:
         files += sorted(glob.glob(os.path.join(src, "result_*.npz")))
+
+    if args.exclude_cond_ids.lower() != "none":
+        lo, hi = (int(x) for x in args.exclude_cond_ids.split(":"))
+        n_before = len(files)
+        files = [f for f in files
+                 if not lo <= int(np.load(f)["data_id"]) < hi]
+        logger.info(f"excluded {n_before - len(files)} result files "
+                    f"conditioned on held-out targets [{lo},{hi})")
 
     # scan result files in parallel; dedup/novelty in arrival order on the
     # parent so oracle-only mode reproduces the historical first-come packs

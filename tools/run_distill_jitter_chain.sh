@@ -7,12 +7,12 @@
 #   3. resume jitter-free for 20k (moses2_distill.yml) - the anneal
 #   4. sample 100 targets unguided + pc-guided, evaluate both
 # Usage: tools/run_distill_jitter_chain.sh <wait_pid|0>
-set -uo pipefail
+set -euo pipefail
 cd "$(dirname "$0")/.."
 
 WAIT=${1:?pid to wait on (0 = none)}
 if [ "$WAIT" != "0" ]; then
-  while kill -0 "$WAIT" 2>/dev/null; do sleep 60; done
+  tail --pid="$WAIT" -f /dev/null || true
 fi
 
 echo "=== [1/4] distill v1 pack (oracle filter)"
@@ -28,6 +28,7 @@ python -u -m shapemol_tpu.cli.train_diffusion \
     2>&1 | tee runlogs/s2_distill_jitter.log
 
 S2=$(ls -dt logs_real/diffusion_*dja | head -1)
+[ -d "$S2/checkpoints" ] || { echo "FATAL: no checkpoints under $S2" >&2; exit 1; }
 echo "=== [3/4] 20k jitter-free anneal resuming $S2"
 python -u -m shapemol_tpu.cli.train_diffusion \
     configs/training/moses2_distill.yml \
@@ -36,6 +37,7 @@ python -u -m shapemol_tpu.cli.train_diffusion \
     2>&1 | tee runlogs/s2_distill_jitter_anneal.log
 
 S2A=$(ls -dt logs_real/diffusion_*dja_anneal | head -1)
+[ -d "$S2A/checkpoints" ] || { echo "FATAL: no checkpoints under $S2A" >&2; exit 1; }
 echo "=== [4/4] sample+eval from $S2A"
 for MODE in "" "_guided"; do
   CFG_S=configs/sampling/moses2_real${MODE:+_guided}.yml

@@ -7,7 +7,7 @@
 #   v2mix  — distill-v2 corpus with the real pack pinned at 25% batch share
 # Each probe: train 100k iters -> sample 100 targets (unguided + guided)
 # -> evaluate. Serial, single chip.
-set -uo pipefail
+set -euo pipefail
 cd "$(dirname "$0")/.."
 S1=logs_real/shape_ae_2026_08_16__21_14_54_real/checkpoints
 
@@ -28,6 +28,9 @@ python -u tools/make_distill_pack.py \
     --src results_distill_full --keep 14400 --workers 1 \
     --out processed_data/moses2_distill_v2 \
     2>&1 | tee runlogs/distill_v2_pack_r4d.log
+
+ls processed_data/moses2_distill_v3geom.*.npz >/dev/null || { echo "FATAL: v3geom pack missing" >&2; exit 1; }
+ls processed_data/moses2_distill_v2.*.npz >/dev/null || { echo "FATAL: v2 pack missing" >&2; exit 1; }
 
 echo "=== [4/5] v3geom probe chain"
 tools/run_train_eval_chain.sh 0 configs/training/moses2_distill_v3geom.yml \

@@ -3,7 +3,7 @@
 # config, then sample 100 targets (unguided + pc-guided) and evaluate.
 # Keeps the single chip busy across queued experiments.
 # Usage: tools/run_train_eval_chain.sh <wait_pid|0> <config> <tag> <result_prefix> [max_iters]
-set -uo pipefail
+set -euo pipefail
 cd "$(dirname "$0")/.."
 
 WAIT=${1:?pid to wait on (0 = none)}
@@ -13,7 +13,9 @@ PREFIX=${4:?result prefix}
 ITERS=${5:-100000}
 
 if [ "$WAIT" != "0" ]; then
-  while kill -0 "$WAIT" 2>/dev/null; do sleep 30; done
+  # tail --pid survives EPERM and is immune to PID-reuse races that a
+  # kill -0 poll is not (ADVICE r4)
+  tail --pid="$WAIT" -f /dev/null || true
 fi
 
 python -u -m shapemol_tpu.cli.train_diffusion "$CFG" \
@@ -21,6 +23,7 @@ python -u -m shapemol_tpu.cli.train_diffusion "$CFG" \
     2>&1 | tee "runlogs/s2_${TAG}.log"
 
 S2=$(ls -dt logs_real/diffusion_*"${TAG}" | head -1)
+[ -d "$S2/checkpoints" ] || { echo "FATAL: no checkpoints under $S2" >&2; exit 1; }
 echo "=== training done; sampling from $S2"
 
 for MODE in "" "_guided"; do
