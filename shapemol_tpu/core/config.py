@@ -101,6 +101,8 @@ def build_score_model_config(model_cfg: AttrDict, num_classes: int):
         v_mode=g("v_mode", "uniform"),
         loss_v_weight=g("loss_v_weight", 100.0),
         loss_weight_type=g("loss_weight_type", "noise_level"),
+        loss_geom_weight=g("loss_geom_weight", 0.0),
+        geom_weight_mode=g("geom_weight_mode", "alpha_bar"),
         loss_pos_min_weight=g("loss_pos_min_weight", 0.0),
         loss_pos_max_weight=g("loss_pos_max_weight", 10.0),
         sample_time_method=g("sample_time_method", "symmetric"),

@@ -90,6 +90,8 @@ def make_diffusion_train_step(net: ShapeDiffusionNet,
         gnorm = optax.global_norm(grads)
         metrics = {"loss": loss, "loss_pos": loss_pos,
                    "loss_v": loss_v, "grad_norm": gnorm}
+        if n_acc <= 1 and "loss_geom" in aux:
+            metrics["loss_geom"] = aux["loss_geom"]
         return new_state, metrics
 
     if mesh is None:
@@ -105,6 +107,71 @@ def make_diffusion_train_step(net: ShapeDiffusionNet,
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_diffusion_train_step_multi(net: ShapeDiffusionNet,
+                                    sched: dfn.DiffusionSchedule,
+                                    tx: optax.GradientTransformation,
+                                    n_steps: int,
+                                    ema_decay: Optional[float] = None):
+    """K full optimizer updates per dispatch: lax.scan over a (K, B, ...)
+    stack of batches inside ONE jit call.
+
+    Latency shaping for a remote-dispatched chip (the axon tunnel pays
+    ~20 ms of host+RPC per execute; the b32 device step itself is ~7 ms):
+    scanning K steps amortizes the round trip K-fold, taking the train
+    loop from dispatch-bound to device-bound. Semantics are identical to
+    K sequential calls of the single step: the injected LR is constant
+    between host scheduler updates, so callers must align K with
+    val_freq (cli/train_diffusion.py rounds K down to a common divisor
+    of val_freq and the log period). Returned metrics are the LAST
+    step's, matching what a caller polling every 100 iters would see.
+
+    The inner update duplicates make_diffusion_train_step's n_acc=1 body
+    (single-host, no grad accumulation — the only configuration the
+    latency problem applies to); keep the two in lockstep."""
+
+    def loss_and_grads(params, batch_stats, rng, batch):
+        def loss_fn(p):
+            variables = {"params": p}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            loss, aux = diffusion_loss(
+                net, sched, variables, rng, batch["pos"], batch["v"],
+                batch["node_mask"], batch["shape_emb"], train=True)
+            return loss, aux
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def one(state: TrainState, rng, batch):
+        (loss, aux), grads = loss_and_grads(state.params, state.batch_stats,
+                                            rng, batch)
+        new_bs = aux["updates"].get("batch_stats", state.batch_stats)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None and ema_decay is not None:
+            ema = ema_update(ema, params, ema_decay)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_bs, opt_state=opt_state,
+                                  ema_params=ema)
+        metrics = {"loss": loss, "loss_pos": aux["loss_pos"],
+                   "loss_v": aux["loss_v"],
+                   "grad_norm": optax.global_norm(grads)}
+        if "loss_geom" in aux:
+            metrics["loss_geom"] = aux["loss_geom"]
+        return new_state, metrics
+
+    def multi(state: TrainState, rng, batches):
+        rngs = jax.random.split(rng, n_steps)
+
+        def body(s, xs):
+            r, b = xs
+            return one(s, r, b)
+
+        state, ms = jax.lax.scan(body, state, (rngs, batches))
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_diffusion_eval_step(net: ShapeDiffusionNet,

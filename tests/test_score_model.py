@@ -73,6 +73,73 @@ def test_loss_and_grads(net_and_vars):
         assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_aux_geom_loss(net_and_vars):
+    """Auxiliary bonded-distance loss (loss-shaping lever, r5): off by
+    default; when on, it appears in aux, adds to the total, vanishes for a
+    perfect prediction, and carries gradient."""
+    net, variables = net_and_vars
+    pos, v, mask, shape = _batch(4)
+    # compress coordinates so some pairs actually fall under the covalent
+    # threshold (~1.7 A for C-C)
+    pos = pos * 0.8
+    t = jnp.array([5, 5])
+
+    base_cfg = CFG
+    geom_cfg = dataclasses.replace(base_cfg, loss_geom_weight=1.0)
+    sched = base_cfg.make_schedule()
+    net_g = ShapeDiffusionNet(geom_cfg)
+
+    l0, a0 = diffusion_loss(net, sched, variables, jax.random.PRNGKey(7),
+                            pos, v, mask, shape, t=t, train=False)
+    assert "loss_geom" not in a0
+    lg, ag = diffusion_loss(net_g, sched, variables, jax.random.PRNGKey(7),
+                            pos, v, mask, shape, t=t, train=False)
+    assert "loss_geom" in ag and float(ag["loss_geom"]) >= 0
+    # same rng, same prediction: total differs exactly by the weighted term
+    assert float(lg) == pytest.approx(
+        float(l0) + float(ag["loss_geom"]), rel=1e-5)
+    # alpha_bar weighting: same geometry error weighs less at high t
+    t_hi = jnp.array([45, 45])
+    _, ahi = diffusion_loss(net_g, sched, variables, jax.random.PRNGKey(7),
+                            pos, v, mask, shape, t=t_hi, train=False)
+    assert np.isfinite(float(ahi["loss_geom"]))
+    # gradient flows through the geometry term
+    def loss_fn(p):
+        vs = {"params": p, **{k: variables[k] for k in variables
+                              if k != "params"}}
+        loss, aux = diffusion_loss(net_g, sched, vs, jax.random.PRNGKey(7),
+                                   pos, v, mask, shape, t=t, train=False)
+        return aux["loss_geom"]
+    grads = jax.grad(loss_fn)(variables["params"])
+    gn = float(sum(jnp.sum(jnp.abs(g))
+                   for g in jax.tree_util.tree_leaves(grads)))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_geom_loss_zero_for_perfect_prediction():
+    """Direct check of the term's arithmetic: identical predicted and true
+    bond lengths -> zero, stretched bonds -> positive, padded atoms and
+    non-bonded pairs excluded."""
+    from shapemol_tpu.ops.covalent import COV_MARGIN, class_covalent_radii
+    from shapemol_tpu.ops.knn import pairwise_sqdist
+    radii = np.asarray(class_covalent_radii("add_aromatic"))
+    # 3 carbons in a chain at 1.5 A (bonded) + 1 padded slot
+    pos0 = np.zeros((1, 4, 3), np.float32)
+    pos0[0, 1, 0] = 1.5
+    pos0[0, 2, 0] = 3.0
+    pos0[0, 3, 0] = 50.0
+    v0 = np.full((1, 4), 1, np.int32)          # plain carbons
+    nm = np.array([[True, True, True, False]])
+    r = radii[v0]
+    thr = r[:, :, None] + r[:, None, :] + COV_MARGIN
+    d0s = np.asarray(pairwise_sqdist(jnp.asarray(pos0)))
+    eye = np.eye(4, dtype=bool)[None]
+    bonded = (d0s < thr**2) & nm[:, :, None] & nm[:, None, :] & ~eye
+    # chain neighbors bonded, 1-3 pair (3.0 A) not, padded atom never
+    assert bonded[0, 0, 1] and bonded[0, 1, 2]
+    assert not bonded[0, 0, 2] and not bonded[0, 2, 3]
+
+
 def test_loss_decreases_under_sgd(net_and_vars):
     """A few SGD steps on one fixed batch must reduce the loss."""
     net, variables = net_and_vars

@@ -176,6 +176,69 @@ def test_grad_accumulation_matches_full_batch():
     assert moved > 0
 
 
+def test_multi_step_scan_matches_sequential():
+    """K scanned optimizer updates per dispatch (r5 latency shaping) must
+    equal K sequential single-step calls given the same per-step rngs.
+    The single step splits its rng the same way the multi body does, so
+    feeding the multi call's split keys through the single step one by
+    one reproduces it exactly."""
+    import jax
+    import jax.numpy as jnp
+    from shapemol_tpu.models.denoiser import DenoiserConfig
+    from shapemol_tpu.models.score_model import (ScoreModelConfig,
+                                                 ShapeDiffusionNet)
+    from shapemol_tpu.train.loops import (make_diffusion_train_step,
+                                          make_diffusion_train_step_multi)
+    from shapemol_tpu.train.train_state import (create_train_state,
+                                                make_optimizer)
+    cfg = ScoreModelConfig(
+        num_diffusion_timesteps=20, num_classes=15, hidden_dim=32,
+        denoiser=DenoiserConfig(num_blocks=1, num_layers=1, hidden_dim=32,
+                                n_heads=4, knn=4, shape_dim=8,
+                                shape_latent_dim=8))
+    net = ShapeDiffusionNet(cfg)
+    sched = cfg.make_schedule()
+    rng = np.random.default_rng(1)
+    K, B, N = 3, 4, 10
+    stack = {
+        "pos": jnp.asarray(rng.standard_normal((K, B, N, 3)), jnp.float32),
+        "v": jnp.asarray(rng.integers(0, 15, (K, B, N)), jnp.int32),
+        "node_mask": jnp.ones((K, B, N), bool),
+        "shape_emb": jnp.asarray(rng.standard_normal((K, B, 8, 3)),
+                                 jnp.float32),
+    }
+    variables = net.init(jax.random.PRNGKey(0), stack["pos"][0],
+                         stack["v"][0], stack["node_mask"][0],
+                         stack["shape_emb"][0], jnp.zeros((B,), jnp.int32))
+    tx = make_optimizer(lr=1e-3)
+    state0 = create_train_state(variables["params"],
+                                variables.get("batch_stats"), tx,
+                                ema=True)
+
+    multi = make_diffusion_train_step_multi(net, sched, tx, K,
+                                            ema_decay=0.9)
+    key = jax.random.PRNGKey(5)
+    sm, mm = multi(jax.tree_util.tree_map(jnp.copy, state0), key, stack)
+
+    single = make_diffusion_train_step(net, sched, tx, ema_decay=0.9)
+    ss = jax.tree_util.tree_map(jnp.copy, state0)
+    for k in range(K):
+        sub = jax.random.split(key, K)[k]
+        ss, ms = single(ss, sub, {f: stack[f][k] for f in stack})
+
+    assert int(sm.step) == K and int(ss.step) == K
+    for a, b in zip(jax.tree_util.tree_leaves(sm.params),
+                    jax.tree_util.tree_leaves(ss.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(sm.ema_params),
+                    jax.tree_util.tree_leaves(ss.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # returned metrics are the LAST step's
+    assert np.isclose(float(mm["loss"]), float(ms["loss"]), rtol=2e-5)
+
+
 def test_ema_state_tracks_params():
     import jax
     import jax.numpy as jnp

@@ -109,12 +109,21 @@ def main():
                    help="rank oracle-passing candidates by bond-length NLL "
                         "vs the empirical profiles; keep the best --keep")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--cpu", action="store_true",
+                   help="run the stage-1 encoder on host CPU (so the pack "
+                        "build can proceed while the TPU chip is busy "
+                        "training; the axon platform ignores JAX_PLATFORMS, "
+                        "so this must be an in-process override)")
     p.add_argument("--exclude_cond_ids", default="0:100",
                    help="half-open data_id range whose generations never "
                         "enter the corpus (default: the held-out "
                         "conditioning targets 0-99, so distillation stays "
                         "blind to the eval split); 'none' disables")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from shapemol_tpu.chem.mol import Molecule
     from shapemol_tpu.core.misc import get_logger

@@ -49,6 +49,14 @@ NOTES = {
     "results_distill_v2mix_guided": ("v2mix + pc-guidance", "flywheel counter-measure: real-mix anchor"),
     "results_distill_ja": ("jitter 80k -> 20k anneal on the distill corpus", "jitter-anneal x distill composition"),
     "results_distill_ja_guided": ("distill jitter-anneal + pc-guidance", "jitter-anneal x distill composition"),
+    "results_geom1": ("distill + bonded-distance loss w=1", "loss-shaping dose-response (r5)"),
+    "results_geom10": ("distill + bonded-distance loss w=10", "loss-shaping dose-response (r5)"),
+    "results_geom100": ("distill + bonded-distance loss w=100", "loss-shaping dose-response (r5)"),
+    "results_geom10_guided": ("geom-loss winner + pc-guidance", "loss-shaping (r5)"),
+    "results_geom100_guided": ("geom-loss winner + pc-guidance", "loss-shaping (r5)"),
+    "results_dcfg_s0": ("distill-CFG ckpt, guide_stren 0", "CFG re-adjudication at distill scale (r5)"),
+    "results_distill_dual": ("distill corpus + dual conditioning", "distill x dual composition (r5)"),
+    "results_distill_dual_guided": ("distill x dual + pc-guidance", "distill x dual composition (r5)"),
 }
 
 
@@ -59,6 +67,10 @@ def note_for(d):
         tag = d[len("results_cfg_"):]
         return (f"CFG-trained ckpt, {tag.replace('_', ' + ', 1)}",
                 "CFG dose-response sweep")
+    if d.startswith("results_dcfg_s"):
+        tag = d[len("results_dcfg_"):]
+        return (f"distill-CFG ckpt, {tag} + rescale",
+                "CFG re-adjudication at distill scale (r5)")
     return ("", "")
 
 

@@ -16,10 +16,14 @@ if [ "$WAIT" != "0" ]; then
 fi
 
 echo "=== [1/4] distill v1 pack (oracle filter)"
-python -u tools/make_distill_pack.py \
-    --src results_full_ema --keep 7200 --workers 1 \
-    --out processed_data/moses2_distill_v1 \
-    2>&1 | tee runlogs/distill_v1_pack_r4d.log
+if ls processed_data/moses2_distill_v1.*.npz >/dev/null 2>&1; then
+  echo "pack exists; skipping build"
+else
+  python -u tools/make_distill_pack.py --cpu \
+      --src results_full_ema --keep 7200 --workers 1 \
+      --out processed_data/moses2_distill_v1 \
+      2>&1 | tee runlogs/distill_v1_pack_r4d.log
+fi
 
 echo "=== [2/4] train 80k @ jitter 0.02 on the distill corpus"
 python -u -m shapemol_tpu.cli.train_diffusion \
