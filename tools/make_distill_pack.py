@@ -108,6 +108,16 @@ def main():
     p.add_argument("--geom_filter", action="store_true",
                    help="rank oracle-passing candidates by bond-length NLL "
                         "vs the empirical profiles; keep the best --keep")
+    p.add_argument("--geom_strat", action="store_true",
+                   help="composition-stratified geometry filter (r5): "
+                        "greedy accept in bond-length-NLL order, but only "
+                        "while the running atomic-number distribution stays "
+                        "within --strat_jsd of MOSES2 — keeps the v3geom "
+                        "geometry win without its atom-type drift "
+                        "(corpus ladder: 0.098 -> 0.138)")
+    p.add_argument("--strat_jsd", type=float, default=0.095,
+                   help="composition JSD cap for --geom_strat (the real "
+                        "900-molecule corpus sits at 0.089)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--cpu", action="store_true",
                    help="run the stage-1 encoder on host CPU (so the pack "
@@ -147,6 +157,7 @@ def main():
 
     # scan result files in parallel; dedup/novelty in arrival order on the
     # parent so oracle-only mode reproduces the historical first-come packs
+    geom_mode = args.geom_filter or args.geom_strat
     candidates, seen = [], set()
     n_seen = 0
     with mp.Pool(args.workers, initializer=_init_worker,
@@ -159,11 +170,54 @@ def main():
                 seen.add(smiles)
                 candidates.append(
                     (nll, Molecule(nums, pos, bonds, charges, aromatic)))
-            if not args.geom_filter and len(candidates) >= args.keep:
+            if not geom_mode and len(candidates) >= args.keep:
                 pool.terminate()
                 break
 
-    if args.geom_filter:
+    if args.geom_strat:
+        # composition-stratified greedy: walk candidates in NLL order,
+        # accept while the selected set's atomic-number distribution stays
+        # within the JSD cap (or improves); backfill by NLL if the cap
+        # leaves the pack short. The cap binds the one axis the plain
+        # geometry filter degraded (atom drift), at the cost of admitting
+        # slightly worse-NLL molecules rich in under-represented elements.
+        from scipy.spatial.distance import jensenshannon
+        from shapemol_tpu.eval.atom_type import MOSES2_ATOM_TYPE_DISTRIBUTION
+        zs = sorted(MOSES2_ATOM_TYPE_DISTRIBUTION)
+        ref_vec = np.array([MOSES2_ATOM_TYPE_DISTRIBUTION[z] for z in zs])
+
+        def jsd_of(c):
+            return (float(jensenshannon(ref_vec, c / c.sum()))
+                    if c.sum() else 0.0)
+
+        ordered = sorted(candidates, key=lambda t: t[0])
+        counts = np.zeros(len(zs))
+        selected, rest = [], []
+        for nll, mol in ordered:
+            if len(selected) >= args.keep:
+                rest.append((nll, mol))
+                continue
+            vec = np.array([sum(1 for z in mol.atomic_nums if z == zz)
+                            for zz in zs], dtype=float)
+            new_jsd = jsd_of(counts + vec)
+            if (len(selected) < 200 or new_jsd <= args.strat_jsd
+                    or new_jsd <= jsd_of(counts)):
+                selected.append((nll, mol))
+                counts += vec
+            else:
+                rest.append((nll, mol))
+        short = args.keep - len(selected)
+        if short > 0:
+            selected += rest[:short]
+        kept_nll = [t[0] for t in selected if np.isfinite(t[0])]
+        logger.info(f"stratified geometry filter: kept {len(selected)} "
+                    f"(NLL mean {float(np.mean(kept_nll)):.3f}, "
+                    f"composition JSD {jsd_of(counts):.4f}, "
+                    f"backfilled {max(short, 0)}) "
+                    f"of {len(candidates)} candidates")
+        candidates = selected
+
+    elif args.geom_filter:
         candidates.sort(key=lambda t: t[0])
         kept_nll = [t[0] for t in candidates[:args.keep] if np.isfinite(t[0])]
         cut_nll = [t[0] for t in candidates[args.keep:] if np.isfinite(t[0])]
@@ -175,9 +229,10 @@ def main():
             f"geometry filter: only {len(candidates)} candidates "
             f"(<= keep={args.keep}); filter is a no-op")
     mols = [m for _nll, m in candidates[:args.keep]]
+    tag = ("+geom-stratified" if args.geom_strat
+           else "+geom-ranked" if args.geom_filter else "")
     logger.info(f"kept {len(mols)} of {n_seen} generated molecules "
-                f"(stable+complete+novel+unique"
-                f"{'+geom-ranked' if args.geom_filter else ''})")
+                f"(stable+complete+novel+unique{tag})")
 
     from shapemol_tpu.cli.train_diffusion import load_shape_encoder
     encoder_fn = load_shape_encoder(S1_CKPT, logger)
