@@ -56,6 +56,8 @@ NOTES = {
     "results_geom100_guided": ("geom-loss winner + pc-guidance", "loss-shaping (r5)"),
     "results_dcfg_s0": ("distill-CFG ckpt, guide_stren 0", "CFG re-adjudication at distill scale (r5)"),
     "results_distill_v4strat": ("composition-stratified geometry-filtered corpus", "v3geom drift repair (r5)"),
+    "results_distill_v5geom": ("geometry-filtered flywheel iteration 2", "flywheel compounds on the filtered axis (r5)"),
+    "results_v3geom_full": ("v3geom ckpt, FULL protocol", "round-5 champion, unguided"),
     "results_distill_v4strat_guided": ("v4strat + pc-guidance", "v3geom drift repair (r5)"),
     "results_v4strat_full": ("v4strat ckpt, FULL protocol", "round-5 champion, unguided"),
     "results_v4strat_full_guided": ("v4strat + pc-guidance, FULL protocol", "round-5 champion, guided"),
